@@ -1,0 +1,132 @@
+"""Homography / fundamental RANSAC tests on synthetic ground truth, with
+cv2 as an accuracy oracle (reference: utils.py:118-153, pair_selector.py:117)."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu3drec.ops.geometry import (
+    solve_homography_dlt, homography_transfer_error, find_homography,
+    solve_fundamental_8pt, sampson_error, find_fundamental,
+    reprojection_error_homography,
+)
+
+
+def make_h_data(n=200, n_out=60, noise=0.5, seed=0):
+    r = np.random.default_rng(seed)
+    H = np.array([[1.1, 0.05, 10.0],
+                  [-0.03, 0.95, -5.0],
+                  [1e-4, -5e-5, 1.0]], np.float64)
+    p1 = r.uniform(0, 500, size=(n, 2))
+    ph = np.concatenate([p1, np.ones((n, 1))], axis=1) @ H.T
+    p2 = ph[:, :2] / ph[:, 2:3] + noise * r.standard_normal((n, 2))
+    outl = r.permutation(n)[:n_out]
+    p2[outl] += r.uniform(30, 120, size=(n_out, 2)) * np.sign(r.standard_normal((n_out, 2)))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[outl] = False
+    return (p1.astype(np.float32), p2.astype(np.float32), H, inlier_gt)
+
+
+def test_dlt_homography_exact():
+    p1, p2, H, _ = make_h_data(n=40, n_out=0, noise=0.0)
+    Hs, ok = solve_homography_dlt(jnp.asarray(p1[:4]), jnp.asarray(p2[:4]))
+    assert bool(ok)
+    err = np.asarray(homography_transfer_error(Hs, jnp.asarray(p1), jnp.asarray(p2)))
+    # float32 minimal solve carries ~0.03px rounding at 500px coordinate
+    # scale (f64 reference reaches 0.001px); 0.1px still catches real bugs
+    assert np.sqrt(err.max()) < 0.1
+
+
+def test_find_homography_vs_gt_and_cv2():
+    p1, p2, H, inlier_gt = make_h_data()
+    res = find_homography(jnp.asarray(p1), jnp.asarray(p2), threshold=3.0,
+                          key=jax.random.PRNGKey(1))
+    assert bool(res.success)
+    inl = np.asarray(res.inliers)
+    # recovers essentially all true inliers, rejects all outliers
+    assert inl[inlier_gt].mean() > 0.97
+    assert inl[~inlier_gt].mean() < 0.05
+
+    Hcv, mask_cv = cv2.findHomography(p1, p2, cv2.RANSAC, 3.0)
+    ours = np.array(res.model)
+    ours /= ours[2, 2]
+    Hcv /= Hcv[2, 2]
+    # same model up to noise-level differences
+    assert np.abs(ours - Hcv).max() / np.abs(Hcv).max() < 0.02
+
+    # mean reprojection error on inliers comparable to cv2's (within 20%)
+    def mean_err(Hm):
+        ph = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ Hm.T
+        proj = ph[:, :2] / ph[:, 2:3]
+        return np.linalg.norm(proj - p2, axis=1)[inlier_gt].mean()
+    assert mean_err(ours) < mean_err(Hcv) * 1.2 + 1e-3
+
+
+def test_reprojection_error_helper():
+    p1, p2, H, inlier_gt = make_h_data(noise=0.0, n_out=0)
+    err = reprojection_error_homography(jnp.asarray(H.astype(np.float32)),
+                                        jnp.asarray(p1), jnp.asarray(p2),
+                                        jnp.ones(len(p1), bool))
+    assert float(err) < 1e-2
+
+
+def make_f_data(n=300, n_out=75, noise=0.5, seed=1):
+    r = np.random.default_rng(seed)
+    K = np.array([[600, 0, 320], [0, 600, 240], [0, 0, 1]], np.float64)
+    # camera 2 rotated + translated
+    angle = 0.15
+    R = cv2.Rodrigues(np.array([0.05, angle, 0.02]))[0]
+    t = np.array([1.0, 0.1, 0.2])
+    X = r.uniform(-2, 2, size=(n, 3)) + np.array([0, 0, 6.0])
+    x1 = (K @ X.T).T
+    p1 = x1[:, :2] / x1[:, 2:3]
+    x2 = (K @ (R @ X.T + t[:, None])).T
+    p2 = x2[:, :2] / x2[:, 2:3]
+    p1 += noise * r.standard_normal((n, 2))
+    p2 += noise * r.standard_normal((n, 2))
+    outl = r.permutation(n)[:n_out]
+    p2[outl] += r.uniform(25, 90, size=(n_out, 2)) * np.sign(r.standard_normal((n_out, 2)))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[outl] = False
+    # ground-truth F = K^-T [t]x R K^-1
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    F = np.linalg.inv(K).T @ tx @ R @ np.linalg.inv(K)
+    F /= np.linalg.norm(F)
+    return p1.astype(np.float32), p2.astype(np.float32), F, inlier_gt
+
+
+def test_fundamental_8pt_noise_free():
+    p1, p2, F_gt, _ = make_f_data(noise=0.0, n_out=0)
+    F, ok = solve_fundamental_8pt(jnp.asarray(p1), jnp.asarray(p2))
+    assert bool(ok)
+    err = np.asarray(sampson_error(F, jnp.asarray(p1), jnp.asarray(p2)))
+    assert np.sqrt(err).max() < 1e-2
+
+
+def test_find_fundamental_vs_gt():
+    p1, p2, F_gt, inlier_gt = make_f_data()
+    res = find_fundamental(jnp.asarray(p1), jnp.asarray(p2), threshold=2.0,
+                           key=jax.random.PRNGKey(3))
+    assert bool(res.success)
+    inl = np.asarray(res.inliers)
+    assert inl[inlier_gt].mean() > 0.95
+    assert inl[~inlier_gt].mean() < 0.05
+    # Sampson residual of true inliers under our F should be small
+    err = np.sqrt(np.asarray(res.residuals))[inlier_gt]
+    assert np.median(err) < 1.5
+
+
+def test_ransac_with_mask_and_padding():
+    p1, p2, H, inlier_gt = make_h_data(n=150, n_out=40)
+    # pad with garbage rows that the mask must exclude
+    pad = np.full((50, 2), 1e6, np.float32)
+    p1p = np.concatenate([p1, pad])
+    p2p = np.concatenate([p2, pad])
+    mask = np.concatenate([np.ones(150, bool), np.zeros(50, bool)])
+    res = find_homography(jnp.asarray(p1p), jnp.asarray(p2p),
+                          mask=jnp.asarray(mask), threshold=3.0,
+                          key=jax.random.PRNGKey(2))
+    assert bool(res.success)
+    assert not np.any(np.asarray(res.inliers)[150:])

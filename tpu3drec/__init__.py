@@ -1,0 +1,66 @@
+"""tpu3drec — a TPU-native 3D reconstruction framework (JAX/XLA/Pallas).
+
+A ground-up rebuild of the capabilities of the reference SfM framework
+(Tarboucha/3DReconstruction): multi-method feature detection and matching,
+incremental structure-from-motion (essential-matrix RANSAC, pose recovery,
+triangulation, PnP, bundle adjustment), and dense reconstruction (plane-sweep
+stereo, point clouds, meshing) — re-designed TPU-first:
+
+- fixed-shape, mask-padded array pytrees instead of variable-length
+  ``List[cv2.KeyPoint]`` (reference: FeatureMatchingExtraction/core_data_structures.py)
+- pure jit-able ops (Pallas kernels for the hot paths) instead of OpenCV calls
+- ``vmap`` over image pairs within a chip, ``shard_map`` over a device mesh
+  across chips, instead of the reference's serial pair loop
+  (reference: FeatureMatchingExtraction/pipeline.py:538-678)
+
+Public API mirrors the reference's surface
+(FeatureMatchingExtraction/__init__.py:39-302): ``create_pipeline``,
+``quick_match``, ``detect_features``, ``match_images``, plus the SfM entry
+``reconstruct_scene`` and dense entry ``run_dense_reconstruction``.
+"""
+
+__version__ = "0.1.0"
+
+from tpu3drec.core.types import (
+    Features,
+    Matches,
+    ScoreType,
+    MethodResult,
+    MatchingResult,
+)
+from tpu3drec.core.config import (
+    DEFAULT_CONFIG,
+    PRESET_CONFIGS,
+    create_config_from_preset,
+    merge_configs,
+    validate_config,
+    save_config,
+    load_config,
+)
+from tpu3drec.api import (
+    create_pipeline,
+    detect_features,
+    match_images,
+    quick_match,
+    quick_process_folder,
+)
+
+__all__ = [
+    "Features",
+    "Matches",
+    "ScoreType",
+    "MethodResult",
+    "MatchingResult",
+    "DEFAULT_CONFIG",
+    "PRESET_CONFIGS",
+    "create_config_from_preset",
+    "merge_configs",
+    "validate_config",
+    "save_config",
+    "load_config",
+    "create_pipeline",
+    "detect_features",
+    "match_images",
+    "quick_match",
+    "quick_process_folder",
+]

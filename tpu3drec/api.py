@@ -1,0 +1,176 @@
+"""Public API: the reference's surface re-exposed over the TPU-native core.
+
+Mirrors FeatureMatchingExtraction/__init__.py:39-302 and pipeline.py entry
+points: `create_pipeline(preset)`, `detect_features`, `match_images`,
+`quick_match`, `quick_process_folder`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3drec.core.config import (
+    DETECTOR_SPECIFIC_CONFIGS, MATCHER_SPECIFIC_CONFIGS,
+    create_config_from_preset, merge_configs,
+)
+from tpu3drec.core.types import Features, Matches, MethodResult
+from tpu3drec.ops import image as imops
+from tpu3drec.ops.match import match_features, auto_select_matcher
+from tpu3drec.ops.geometry import (
+    find_homography, reprojection_error_homography,
+)
+
+
+def _get_detector_registry():
+    """Name -> detect fn (image (H,W) f32 [0,1], **params) -> Features."""
+    from tpu3drec.ops.sift import detect_sift_features
+    from tpu3drec.ops.harris import detect_harris_features
+
+    def harris(img, **kw):
+        kw.pop("use_harris", None)
+        return detect_harris_features(img, use_harris=True, method="Harris", **kw)
+
+    def gftt(img, **kw):
+        kw.pop("use_harris", None)
+        return detect_harris_features(img, use_harris=False,
+                                      method="GoodFeatures", **kw)
+
+    registry = {
+        "SIFT": detect_sift_features,
+        "Harris": harris,
+        "GoodFeatures": gftt,
+    }
+    # graceful degradation for not-yet-available families, mirroring the
+    # reference's import guards (deep_learning_detectors.py:18-25)
+    try:
+        from tpu3drec.ops.orb import detect_orb_features
+        registry["ORB"] = detect_orb_features
+    except ImportError:
+        pass
+    try:
+        from tpu3drec.ops.akaze import detect_akaze_features
+        registry["AKAZE"] = detect_akaze_features
+    except ImportError:
+        pass
+    try:
+        from tpu3drec.ops.brisk import detect_brisk_features
+        registry["BRISK"] = detect_brisk_features
+    except ImportError:
+        pass
+    try:
+        from tpu3drec.models.superpoint import detect_superpoint_features
+        registry["SuperPoint"] = detect_superpoint_features
+    except ImportError:
+        pass
+    return registry
+
+
+def prepare_image(image: Union[np.ndarray, jnp.ndarray]) -> jnp.ndarray:
+    """Any uint8/float, gray/RGB image -> (H, W) float32 in [0, 1]."""
+    arr = np.asarray(image)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    else:
+        arr = arr.astype(np.float32)
+        if arr.max() > 2.0:  # heuristically 0-255 floats
+            arr = arr / 255.0
+    x = jnp.asarray(arr)
+    return imops.rgb_to_gray(x)
+
+
+def _detector_params(method: str, config: Optional[Dict[str, Any]],
+                     max_features: Optional[int]) -> Dict[str, Any]:
+    params = dict(DETECTOR_SPECIFIC_CONFIGS.get(method, {}))
+    if config:
+        params.update((config.get("detector_params") or {}).get(method, {}))
+        if config.get("max_features"):
+            params["max_features"] = config["max_features"]
+    if max_features:
+        params["max_features"] = max_features
+    return params
+
+
+def detect_features(image, method: str = "SIFT",
+                    max_features: Optional[int] = None,
+                    config: Optional[Dict[str, Any]] = None,
+                    **params) -> Features:
+    """Detect keypoints + descriptors with one method (reference:
+    BaseFeatureDetector.detect, base_classes.py:15-73)."""
+    registry = _get_detector_registry()
+    if method not in registry:
+        raise ValueError(f"Unknown or unavailable detector {method!r}; "
+                         f"have {sorted(registry)}")
+    img = prepare_image(image)
+    kw = _detector_params(method, config, max_features)
+    kw.update(params)
+    return registry[method](img, **kw)
+
+
+def match_images(image1, image2, method: str = "SIFT",
+                 matcher: str = "auto", ratio: Optional[float] = None,
+                 max_features: Optional[int] = None,
+                 filter_matches: bool = True,
+                 ransac_threshold: float = 4.0,
+                 config: Optional[Dict[str, Any]] = None) -> MethodResult:
+    """Detect + match + homography-filter one pair with one method.
+
+    The single-method analogue of FeatureProcessingPipeline.match
+    (pipeline.py:109-282): returns a MethodResult with raw matches, RANSAC-
+    filtered matches, homography, inlier ratio, and reprojection error.
+    """
+    t0 = time.perf_counter()
+    f1 = detect_features(image1, method, max_features, config)
+    f2 = detect_features(image2, method, max_features, config)
+    f1.desc.block_until_ready()
+    t1 = time.perf_counter()
+
+    if matcher == "auto":
+        matcher = auto_select_matcher(f1)
+    mparams = dict(MATCHER_SPECIFIC_CONFIGS.get(matcher, {}))
+    if ratio is not None:
+        mparams["ratio_threshold"] = ratio
+    m = match_features(f1, f2, ratio=mparams.get("ratio_threshold", 0.75),
+                       cross_check=mparams.get("cross_check", False),
+                       method=method)
+    m.mask.block_until_ready()
+    t2 = time.perf_counter()
+
+    result = MethodResult(
+        method=method, features1=f1, features2=f2, matches=m,
+        detection_time=t1 - t0, matching_time=t2 - t1,
+    )
+    if filter_matches:
+        p1, p2 = m.gather_points(f1, f2)
+        rr = find_homography(p1, p2, mask=m.mask,
+                             threshold=ransac_threshold)
+        if bool(rr.success):
+            result.filtered_matches = m.replace(mask=rr.inliers)
+            result.homography = np.asarray(rr.model)
+            result.inlier_ratio = float(rr.inlier_ratio)
+            result.reprojection_error = float(
+                reprojection_error_homography(rr.model, p1, p2, rr.inliers))
+    return result
+
+
+def quick_match(image1, image2, method: str = "SIFT", **kw) -> MethodResult:
+    """One-call pair matching (reference __init__.py:392-437)."""
+    return match_images(image1, image2, method=method, **kw)
+
+
+def create_pipeline(preset: str = "balanced",
+                    config: Optional[Dict[str, Any]] = None):
+    """Build a FeatureProcessingPipeline from a preset
+    (reference pipeline.py:830-878)."""
+    from tpu3drec.pipelines.matching import FeatureProcessingPipeline
+    cfg = create_config_from_preset(preset, config)
+    return FeatureProcessingPipeline(cfg)
+
+
+def quick_process_folder(folder, output_dir, preset: str = "balanced",
+                         **kw):
+    """One-call folder processing (reference __init__.py:439-...)."""
+    return create_pipeline(preset).match_folder(folder, output_dir, **kw)

@@ -1,0 +1,236 @@
+"""Two-view projective geometry: homography & fundamental-matrix estimation.
+
+TPU-native replacements for cv2.findHomography (reference utils.py:118-153)
+and cv2.findFundamentalMat (pair_selector.py:117-134): vmapped minimal
+solvers (4-pt DLT homography, normalized 8-pt fundamental) plugged into the
+batched RANSAC engine, plus masked weighted least-squares refits on inliers.
+
+All solvers work on (N, 2) pixel coordinates with validity masks and return
+3x3 matrices normalized so the largest-magnitude entry convention matches
+OpenCV (H[2,2] = 1; ||F|| = 1 with rank-2 projection).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3drec.ops.ransac import ransac, RansacResult
+
+
+# ---------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------
+
+def to_homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def normalize_points(pts: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hartley normalization: zero-mean, mean distance sqrt(2). Returns (pts_n, T)."""
+    if mask is None:
+        w = jnp.ones(pts.shape[:-1], pts.dtype)
+    else:
+        w = mask.astype(pts.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mean = jnp.sum(pts * w[..., None], axis=0) / wsum
+    centered = pts - mean
+    d = jnp.sqrt(jnp.sum(centered ** 2, axis=-1))
+    mean_d = jnp.sum(d * w) / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-9)
+    T = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], pts.dtype)
+    T = T.at[0, 0].set(s).at[1, 1].set(s)
+    T = T.at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    return centered * s, T
+
+
+def _smallest_singular_vector(A: jnp.ndarray) -> jnp.ndarray:
+    """Right singular vector for the smallest singular value of A (m x n).
+
+    Via eigh of A^T A — symmetric eigendecomposition is well-supported and
+    fast on TPU (unlike general SVD of tall matrices under vmap). Forming
+    A^T A squares the condition number, so two inverse-iteration steps
+    refine the float32 eigenvector back to ~1e-6 relative accuracy.
+    """
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    v = vecs[:, 0]
+    n = AtA.shape[0]
+    ridge = 1e-7 * jnp.trace(AtA) / n
+    M = AtA + ridge * jnp.eye(n, dtype=AtA.dtype)
+    for _ in range(2):
+        v = jnp.linalg.solve(M, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    return v
+
+
+# ---------------------------------------------------------------------
+# homography
+# ---------------------------------------------------------------------
+
+def solve_homography_dlt(p1: jnp.ndarray, p2: jnp.ndarray,
+                         w: Optional[jnp.ndarray] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DLT homography from >=4 correspondences (p1 -> p2). Returns (H, valid).
+
+    Works for the minimal 4-point case (RANSAC hypotheses) and the weighted
+    overdetermined case (inlier refit) alike.
+    """
+    n = p1.shape[0]
+    p1n, T1 = normalize_points(p1, w)
+    p2n, T2 = normalize_points(p2, w)
+    x, y = p1n[:, 0], p1n[:, 1]
+    u, v = p2n[:, 0], p2n[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    rows_a = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=1)
+    rows_b = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=1)
+    A = jnp.concatenate([rows_a, rows_b], axis=0)  # (2n, 9)
+    if w is not None:
+        ww = jnp.sqrt(jnp.concatenate([w, w], axis=0).astype(A.dtype))
+        A = A * ww[:, None]
+    h = _smallest_singular_vector(A)
+    Hn = h.reshape(3, 3)
+    H = jnp.linalg.inv(T2) @ Hn @ T1
+    scale = H[2, 2]
+    valid = jnp.abs(scale) > 1e-10
+    H = H / jnp.where(valid, scale, 1.0)
+    return H, valid & jnp.all(jnp.isfinite(H))
+
+
+def homography_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray,
+                              pts2: jnp.ndarray) -> jnp.ndarray:
+    """(N,) squared forward reprojection error |H p1 - p2|^2 (cv2 convention)."""
+    p = to_homogeneous(pts1) @ H.T
+    z = p[:, 2]
+    bad = jnp.abs(z) < 1e-10
+    proj = p[:, :2] / jnp.where(bad, 1.0, z)[:, None]
+    err = jnp.sum((proj - pts2) ** 2, axis=1)
+    return jnp.where(bad, 1e12, err)
+
+
+def _h_solver(p1, p2):
+    return solve_homography_dlt(p1, p2)
+
+
+def find_homography(pts1: jnp.ndarray, pts2: jnp.ndarray,
+                    mask: Optional[jnp.ndarray] = None,
+                    threshold: float = 4.0,
+                    num_hypotheses: int = 512,
+                    key: Optional[jax.Array] = None,
+                    refit: bool = True) -> RansacResult:
+    """RANSAC homography, cv2.findHomography(RANSAC) equivalent."""
+    n = pts1.shape[0]
+    mask = jnp.ones((n,), bool) if mask is None else mask
+    key = jax.random.PRNGKey(0) if key is None else key
+    result = ransac(pts1, pts2, mask, key,
+                    solver=_h_solver,
+                    residual_fn=homography_transfer_error,
+                    sample_size=4,
+                    num_hypotheses=num_hypotheses,
+                    threshold=threshold)
+    if refit:
+        H2, ok = solve_homography_dlt(pts1, pts2,
+                                      result.inliers.astype(pts1.dtype))
+        res2 = homography_transfer_error(H2, pts1, pts2)
+        inl2 = (res2 <= threshold ** 2) & mask
+        better = ok & (jnp.sum(inl2) >= result.num_inliers) & result.success
+        model = jnp.where(better, H2, result.model)
+        inliers = jnp.where(better, inl2, result.inliers)
+        n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+        result = result._replace(
+            model=model, inliers=inliers,
+            num_inliers=jnp.sum(inliers.astype(jnp.int32)),
+            inlier_ratio=jnp.sum(inliers.astype(jnp.int32)) / n_valid,
+            residuals=jnp.where(better, res2, result.residuals))
+    return result
+
+
+# ---------------------------------------------------------------------
+# fundamental matrix
+# ---------------------------------------------------------------------
+
+def solve_fundamental_8pt(p1: jnp.ndarray, p2: jnp.ndarray,
+                          w: Optional[jnp.ndarray] = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized 8-point fundamental matrix (p2^T F p1 = 0). Returns (F, valid)."""
+    p1n, T1 = normalize_points(p1, w)
+    p2n, T2 = normalize_points(p2, w)
+    x, y = p1n[:, 0], p1n[:, 1]
+    u, v = p2n[:, 0], p2n[:, 1]
+    one = jnp.ones_like(x)
+    A = jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, one], axis=1)
+    if w is not None:
+        A = A * jnp.sqrt(w.astype(A.dtype))[:, None]
+    f = _smallest_singular_vector(A)
+    Fn = f.reshape(3, 3)
+    # rank-2 projection
+    U, S, Vt = jnp.linalg.svd(Fn)
+    Fn = (U * jnp.array([S[0], S[1], 0.0])) @ Vt
+    F = T2.T @ Fn @ T1
+    norm = jnp.linalg.norm(F)
+    valid = norm > 1e-12
+    F = F / jnp.where(valid, norm, 1.0)
+    return F, valid & jnp.all(jnp.isfinite(F))
+
+
+def sampson_error(F: jnp.ndarray, pts1: jnp.ndarray,
+                  pts2: jnp.ndarray) -> jnp.ndarray:
+    """(N,) first-order (Sampson) squared epipolar error in px^2."""
+    x1 = to_homogeneous(pts1)
+    x2 = to_homogeneous(pts2)
+    Fx1 = x1 @ F.T     # (N, 3) = F @ x1
+    Ftx2 = x2 @ F      # (N, 3) = F^T @ x2
+    num = jnp.sum(x2 * Fx1, axis=1) ** 2
+    den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _f_solver(p1, p2):
+    return solve_fundamental_8pt(p1, p2)
+
+
+def find_fundamental(pts1: jnp.ndarray, pts2: jnp.ndarray,
+                     mask: Optional[jnp.ndarray] = None,
+                     threshold: float = 3.0,
+                     num_hypotheses: int = 512,
+                     key: Optional[jax.Array] = None,
+                     refit: bool = True) -> RansacResult:
+    """RANSAC fundamental matrix, cv2.findFundamentalMat equivalent."""
+    n = pts1.shape[0]
+    mask = jnp.ones((n,), bool) if mask is None else mask
+    key = jax.random.PRNGKey(0) if key is None else key
+    result = ransac(pts1, pts2, mask, key,
+                    solver=_f_solver,
+                    residual_fn=sampson_error,
+                    sample_size=8,
+                    num_hypotheses=num_hypotheses,
+                    threshold=threshold)
+    if refit:
+        F2, ok = solve_fundamental_8pt(pts1, pts2,
+                                       result.inliers.astype(pts1.dtype))
+        res2 = sampson_error(F2, pts1, pts2)
+        inl2 = (res2 <= threshold ** 2) & mask
+        better = ok & (jnp.sum(inl2) >= result.num_inliers) & result.success
+        model = jnp.where(better, F2, result.model)
+        inliers = jnp.where(better, inl2, result.inliers)
+        n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+        result = result._replace(
+            model=model, inliers=inliers,
+            num_inliers=jnp.sum(inliers.astype(jnp.int32)),
+            inlier_ratio=jnp.sum(inliers.astype(jnp.int32)) / n_valid,
+            residuals=jnp.where(better, res2, result.residuals))
+    return result
+
+
+def reprojection_error_homography(H: jnp.ndarray, pts1: jnp.ndarray,
+                                  pts2: jnp.ndarray,
+                                  mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean reprojection error over valid matches (reference utils.py:195-247)."""
+    err = jnp.sqrt(homography_transfer_error(H, pts1, pts2))
+    w = mask.astype(err.dtype)
+    return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -1,0 +1,150 @@
+"""Image primitives: grayscale, resize, separable Gaussian filtering, gradients.
+
+TPU-native replacements for the cv2 calls in the reference's preprocessing
+(base_classes.py:35-47 cvtColor; image_manager.py:260 resize) and the
+scale-space machinery that cv2.SIFT/AKAZE hide inside C++.
+
+All functions are pure, shape-static, jit-able, and batchable with vmap.
+Images are float32 (H, W) grayscale in [0, 1] unless stated otherwise.
+Convolutions are expressed as lax.conv_general_dilated so XLA fuses and tiles
+them; the separable Gaussian is two 1-D convs (O(H*W*K) not O(H*W*K^2)).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ITU-R BT.601 luma weights — same as cv2.cvtColor(BGR2GRAY)/(RGB2GRAY)
+_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+
+def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) RGB (or (H, W)) -> (H, W) float32 gray, cv2-compatible weights."""
+    img = img.astype(jnp.float32)
+    if img.ndim == 2:
+        return img
+    return img @ _LUMA
+
+
+def normalize_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] -> float32 [0,1]."""
+    return img.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def resize(img: jnp.ndarray, shape: Tuple[int, int], method: str = "linear") -> jnp.ndarray:
+    """Resize (H, W[, C]) image to (h, w) — replacement for cv2.resize."""
+    out_shape = tuple(shape) + tuple(img.shape[2:])
+    return jax.image.resize(img, out_shape, method=method)
+
+
+def gaussian_kernel_1d(sigma: float, radius: int = None) -> jnp.ndarray:
+    """1-D Gaussian taps; radius defaults to ceil(4*sigma) like cv2 (f32)."""
+    if radius is None:
+        radius = max(1, int(math.ceil(4.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _conv1d(img: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Reflect-padded 1-D convolution of a (H, W) image along axis 0 or 1."""
+    r = taps.shape[0] // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    x = jnp.pad(img, pad, mode="reflect")
+    x = x[None, None]  # NCHW
+    if axis == 0:
+        w = taps.reshape(1, 1, -1, 1)
+    else:
+        w = taps.reshape(1, 1, 1, -1)
+    # Precision.HIGHEST: TPU convs otherwise default to bfloat16 passes,
+    # which is far too coarse for DoG contrast thresholds (~0.013).
+    y = lax.conv_general_dilated(x, w, (1, 1), "VALID",
+                                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                 precision=lax.Precision.HIGHEST)
+    return y[0, 0]
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int = None) -> jnp.ndarray:
+    """Separable Gaussian blur of a (H, W) image with reflect padding.
+
+    Replaces cv2.GaussianBlur inside SIFT's scale-space construction.
+    sigma is a static Python float (kernel size must be static under jit).
+    """
+    if sigma <= 0:
+        return img
+    taps = gaussian_kernel_1d(sigma, radius)
+    return _conv1d(_conv1d(img, taps, 0), taps, 1)
+
+
+def sobel_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sobel dx, dy of a (H, W) image (cv2.Sobel ksize=3 equivalents)."""
+    smooth = jnp.array([1.0, 2.0, 1.0], jnp.float32)
+    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    dx = _conv1d(_conv1d(img, smooth, 0), diff, 1)
+    dy = _conv1d(_conv1d(img, diff, 0), smooth, 1)
+    return dx, dy
+
+
+def central_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference dx, dy (what SIFT uses for orientation/descriptors)."""
+    dx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    dy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    return dx, dy
+
+
+def box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Mean filter via separable ones kernel (for Harris window sums)."""
+    taps = jnp.ones((size,), jnp.float32) / size
+    return _conv1d(_conv1d(img, taps, 0), taps, 1)
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest-neighbour decimation (SIFT octave downsampling)."""
+    return img[::2, ::2]
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W) image at (N, 2) float (x, y) coords, bilinear, clamped.
+
+    The gather/warp primitive used for stereo rectification remaps and
+    descriptor patch sampling (replaces cv2.remap).
+    """
+    h, w = img.shape
+    x = jnp.clip(xy[:, 0], 0.0, w - 1.0)
+    y = jnp.clip(xy[:, 1], 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def warp_perspective(img: jnp.ndarray, H: jnp.ndarray,
+                     out_shape: Tuple[int, int]) -> jnp.ndarray:
+    """Inverse-warp an image by homography H (cv2.warpPerspective equivalent).
+
+    H maps src -> dst; we sample src at H^-1 @ dst grid.
+    """
+    h, w = out_shape
+    Hinv = jnp.linalg.inv(H)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ones = jnp.ones_like(xs)
+    pts = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()], axis=1)  # (HW, 3)
+    src = pts @ Hinv.T
+    src_xy = src[:, :2] / jnp.maximum(jnp.abs(src[:, 2:3]), 1e-12) * jnp.sign(src[:, 2:3])
+    return bilinear_sample(img, src_xy).reshape(h, w)
