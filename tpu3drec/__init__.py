@@ -21,6 +21,15 @@ Public API mirrors the reference's surface
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls/convs default to bfloat16 passes, which silently degrades
+# the float32 geometry solvers (observed: 1.3px vs 0.24px reprojection on
+# identical inputs). Geometry correctness is the product here, so f32
+# inputs run at full precision by default; bandwidth-bound kernels that
+# want bf16 opt in with explicit dtypes or per-op precision.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from tpu3drec.core.types import (
     Features,
     Matches,

@@ -1,0 +1,270 @@
+"""FeatureProcessingPipeline: multi-method pair matching and folder batches.
+
+Rebuild of the reference pipeline (FeatureMatchingExtraction/pipeline.py):
+`match` (:109-282) runs every configured detector method over a pair,
+matches with the method's configured matcher, applies RANSAC-homography
+filtering and geometry metrics, and returns a multi-method MatchingResult;
+`match_folder` (:327-716) scans metadata only, generates pairs, loads
+batches through the byte-budgeted cache, checkpoints progress.json after
+every pair, and auto-saves batch pickles + COLMAP exports + a batch summary.
+
+TPU-first changes vs the reference:
+- detection results are memoized per (image, method) within a folder run —
+  the reference re-detects both images for every pair (:166-168); with
+  consecutive pairs this alone halves detector work.
+- each method's detect+match+filter path is one jit-compiled program
+  reused across all pairs (static shapes from `max_features`).
+- per-method execution is the EP axis: methods are independent expert
+  branches (multi_method_detector.py:112) that can be dispatched to
+  separate devices via parallel/pairs.py.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpu3drec.core.config import (
+    DEFAULT_CONFIG, MATCHER_SPECIFIC_CONFIGS, merge_configs, validate_config,
+)
+from tpu3drec.core.types import Features, Matches, MatchingResult, MethodResult
+from tpu3drec.io.batch_pickle import (
+    pair_data_from_result, save_batch, save_image_metadata,
+)
+from tpu3drec.io.checkpoint import BatchProcessor
+from tpu3drec.io.colmap import export_pair_matches
+from tpu3drec.io.images import (
+    FolderImageSource, create_pairs_from_metadata,
+)
+
+
+class FeatureProcessingPipeline:
+    """Multi-method detect/match/filter pipeline (pipeline.py:38-828)."""
+
+    def __init__(self, config: Optional[Dict[str, Any]] = None):
+        self.config = merge_configs(DEFAULT_CONFIG, config)
+        problems = validate_config(self.config)
+        if problems:
+            raise ValueError("invalid config: " + "; ".join(problems))
+        from tpu3drec.api import _get_detector_registry
+        registry = _get_detector_registry()
+        self.methods = [m for m in self.config["methods"] if m in registry]
+        if not self.methods:
+            raise ValueError(
+                f"no available detectors among {self.config['methods']}")
+        self._feature_cache: Dict[Tuple[str, str], Features] = {}
+
+    # -- single pair ---------------------------------------------------
+
+    def _detect(self, image, method: str, name: Optional[str] = None) -> Features:
+        from tpu3drec.api import detect_features
+        if name is not None:
+            key = (name, method)
+            hit = self._feature_cache.get(key)
+            if hit is not None:
+                return hit
+        feats = detect_features(image, method, config=self.config)
+        if name is not None:
+            self._feature_cache[key] = feats
+        return feats
+
+    def match(self, image1, image2,
+              image1_name: str = "", image2_name: str = "") -> MatchingResult:
+        """One pair through all configured methods (pipeline.py:109-282)."""
+        import jax.numpy as jnp
+        from tpu3drec.ops.match import match_features, auto_select_matcher
+        from tpu3drec.ops.geometry import (
+            find_homography, reprojection_error_homography,
+        )
+
+        t_start = time.perf_counter()
+        results: Dict[str, MethodResult] = {}
+        filtering = self.config.get("filtering", {})
+        ransac_thr = filtering.get("ransac_threshold", 4.0)
+        use_filter = filtering.get("use_adaptive_filtering", True)
+
+        for method in self.methods:
+            try:
+                t0 = time.perf_counter()
+                f1 = self._detect(image1, method, image1_name or None)
+                f2 = self._detect(image2, method, image2_name or None)
+                f1.desc.block_until_ready()
+                t1 = time.perf_counter()
+
+                matcher = (self.config.get("matcher_config") or {}).get(
+                    method, "auto")
+                if matcher in ("auto", "lightglue"):
+                    # lightglue matcher arrives with the deep stack; fall
+                    # back to the auto choice for its descriptors
+                    matcher = auto_select_matcher(f1)
+                mp = dict(MATCHER_SPECIFIC_CONFIGS.get(matcher, {}))
+                mp.update((self.config.get("matcher_params") or {}).get(
+                    method, {}))
+                m = match_features(
+                    f1, f2, ratio=mp.get("ratio_threshold", 0.75),
+                    cross_check=mp.get("cross_check", False), method=method)
+                m.mask.block_until_ready()
+                t2 = time.perf_counter()
+
+                result = MethodResult(
+                    method=method, features1=f1, features2=f2, matches=m,
+                    detection_time=t1 - t0, matching_time=t2 - t1)
+
+                if use_filter:
+                    p1, p2 = m.gather_points(f1, f2)
+                    rr = find_homography(p1, p2, mask=m.mask,
+                                         threshold=ransac_thr)
+                    if bool(rr.success):
+                        result.filtered_matches = m.replace(mask=rr.inliers)
+                        result.homography = np.asarray(rr.model)
+                        result.inlier_ratio = float(rr.inlier_ratio)
+                        result.reprojection_error = float(
+                            reprojection_error_homography(
+                                rr.model, p1, p2, rr.inliers))
+                results[method] = result
+            except Exception as e:  # per-method fault tolerance
+                # (multi_method_detector.py:133-140 stores an empty result)
+                empty = MethodResult(
+                    method=method,
+                    features1=Features.empty(1, 1, method=method),
+                    features2=Features.empty(1, 1, method=method),
+                    matches=Matches(idx1=jnp.zeros(1, jnp.int32),
+                                    idx2=jnp.zeros(1, jnp.int32),
+                                    score=jnp.zeros(1),
+                                    mask=jnp.zeros(1, bool)))
+                empty.error = str(e)  # type: ignore[attr-defined]
+                results[method] = empty
+
+        shape1 = tuple(np.asarray(image1).shape[:2])
+        shape2 = tuple(np.asarray(image2).shape[:2])
+        return MatchingResult(
+            results=results,
+            image1_name=image1_name, image2_name=image2_name,
+            image1_shape=shape1, image2_shape=shape2,
+            total_processing_time=time.perf_counter() - t_start,
+        )
+
+    # -- folder batch ----------------------------------------------------
+
+    def match_folder(self, folder, output_dir,
+                     pair_mode: str = "consecutive",
+                     pair_window: int = 1,
+                     batch_size: Optional[int] = None,
+                     resume: bool = True,
+                     auto_save: bool = True,
+                     export_colmap: bool = False,
+                     max_images: Optional[int] = None,
+                     resize_to: Optional[Tuple[int, int]] = None,
+                     base_name: str = "results") -> Dict[str, Any]:
+        """Batch job over an image folder (pipeline.py:327-716)."""
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        batch_size = batch_size or self.config.get("pair_batch_size", 8)
+        resize_to = resize_to or self.config.get("image_size")
+
+        source = FolderImageSource(folder, resize_to=resize_to,
+                                   max_images=max_images)
+        metas = source.get_metadata_list()
+        pairs = create_pairs_from_metadata(metas, pair_mode, pair_window)
+        bp = BatchProcessor(output_dir,
+                            metadata={"folder": str(folder),
+                                      "pair_mode": pair_mode})
+        if not resume:
+            bp.reset()
+
+        if auto_save:
+            save_image_metadata(output_dir, base_name, metas)
+
+        self._feature_cache.clear()
+        t_start = time.perf_counter()
+        stats = {"total_pairs": len(pairs), "completed": 0, "skipped": 0,
+                 "failed": 0, "total_matches": 0}
+        batch_results: Dict[Tuple[str, str], Dict] = {}
+        batch_number = 0
+        summaries: List[Dict] = []
+
+        for batch_start in range(0, len(pairs), batch_size):
+            batch_pairs = pairs[batch_start:batch_start + batch_size]
+            todo = [p for p in batch_pairs if not (resume and bp.is_completed(p))]
+            stats["skipped"] += len(batch_pairs) - len(todo)
+            if not todo:
+                continue
+            unique = sorted({n for p in todo for n in p})
+            images = source.load_many(unique)
+            # evict features of images no longer needed
+            live = set(unique)
+            self._feature_cache = {k: v for k, v in self._feature_cache.items()
+                                   if k[0] in live}
+
+            for (n1, n2) in todo:
+                try:
+                    res = self.match(images[n1], images[n2], n1, n2)
+                    best = res.get_best()
+                    if best is not None:
+                        batch_results[(n1, n2)] = pair_data_from_result(best)
+                        stats["total_matches"] += best.num_matches
+                        summaries.append(res.summary())
+                        if export_colmap and best.num_matches > 0:
+                            m = best.best_matches.to_numpy()
+                            export_pair_matches(
+                                output_dir / "colmap" / f"{n1}__{n2}",
+                                Path(n1).stem, Path(n2).stem,
+                                best.features1.to_numpy()["xy"],
+                                best.features2.to_numpy()["xy"],
+                                np.stack([m["idx1"], m["idx2"]], 1)
+                                if len(m["idx1"]) else np.zeros((0, 2)))
+                    stats["completed"] += 1
+                except Exception as e:
+                    batch_results[(n1, n2)] = {"error": str(e)}
+                    stats["failed"] += 1
+                bp.mark_completed((n1, n2))  # checkpoint after EVERY pair
+
+            if auto_save and batch_results:
+                progress = {
+                    "progress_percent": 100.0 * (batch_start + len(batch_pairs))
+                    / max(len(pairs), 1),
+                }
+                save_batch(output_dir, base_name, batch_number, batch_results,
+                           config={"feature_type": "+".join(self.methods),
+                                   **{k: v for k, v in self.config.items()
+                                      if k in ("methods", "max_features")}},
+                           progress=progress)
+                batch_results = {}
+                batch_number += 1
+
+        summary = self._create_batch_summary(stats, summaries,
+                                             time.perf_counter() - t_start,
+                                             source)
+        if auto_save:
+            (output_dir / "batch_summary.json").write_text(
+                json.dumps(summary, indent=2, default=str))
+        return summary
+
+    def _create_batch_summary(self, stats, summaries, wall_time,
+                              source) -> Dict[str, Any]:
+        """pipeline.py:719-828 equivalent."""
+        per_method: Dict[str, List[float]] = {}
+        for s in summaries:
+            for m, info in s["methods"].items():
+                per_method.setdefault(m, []).append(info["quality_score"])
+        return {
+            "stats": stats,
+            "wall_time_s": wall_time,
+            "pairs_per_s": stats["completed"] / wall_time if wall_time > 0 else 0,
+            "methods": {m: {"mean_quality": float(np.mean(v)), "pairs": len(v)}
+                        for m, v in per_method.items()},
+            "cache": source.loader.cache.stats(),
+            "config": {k: v for k, v in self.config.items()
+                       if k in ("methods", "max_features", "combine_strategy")},
+        }
+
+
+def create_pipeline(preset: str = "balanced",
+                    config: Optional[Dict[str, Any]] = None
+                    ) -> FeatureProcessingPipeline:
+    from tpu3drec.core.config import create_config_from_preset
+    return FeatureProcessingPipeline(create_config_from_preset(preset, config))

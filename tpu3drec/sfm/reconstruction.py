@@ -1,0 +1,231 @@
+"""Reconstruction data model: cameras, 3D points, observations.
+
+Host-side growable containers mirroring the reference's Camera / Point3D /
+Observation / Reconstruction (CPE/pipeline.py:21-216): per-camera R, t, K
+with P = K[R|t] and center -R^T t, two-way camera<->point indices, and a
+`to_legacy_format` dict for export parity (:178-216). Conversion to/from
+the static-shape BAProblem arrays used on device lives here too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Camera:
+    """CPE/pipeline.py:21-40."""
+    name: str
+    R: np.ndarray                 # (3,3) world->cam
+    t: np.ndarray                 # (3,)
+    K: np.ndarray                 # (3,3)
+    image_size: Tuple[int, int] = (0, 0)  # (width, height)
+
+    @property
+    def P(self) -> np.ndarray:
+        return self.K @ np.concatenate([self.R, self.t[:, None]], axis=1)
+
+    @property
+    def center(self) -> np.ndarray:
+        return -(self.R.T @ self.t)
+
+
+class Reconstruction:
+    """Growable sparse reconstruction (CPE/pipeline.py:66-216)."""
+
+    def __init__(self):
+        self.cameras: Dict[str, Camera] = {}
+        self.points: List[np.ndarray] = []
+        self.point_colors: List[np.ndarray] = []
+        # observations: (camera_name, point_id, uv)
+        self.observations: List[Tuple[str, int, np.ndarray]] = []
+        self._cam_points: Dict[str, set] = {}
+        self._point_cams: Dict[int, set] = {}
+
+    # -- mutation --------------------------------------------------------
+
+    def add_camera(self, cam: Camera) -> None:
+        self.cameras[cam.name] = cam
+        self._cam_points.setdefault(cam.name, set())
+
+    def add_point(self, xyz: np.ndarray,
+                  color: Optional[np.ndarray] = None) -> int:
+        pid = len(self.points)
+        self.points.append(np.asarray(xyz, np.float64))
+        self.point_colors.append(
+            np.asarray(color if color is not None else [128, 128, 128],
+                       np.uint8))
+        self._point_cams[pid] = set()
+        return pid
+
+    def add_observation(self, cam_name: str, point_id: int,
+                        uv: np.ndarray) -> None:
+        self.observations.append((cam_name, point_id,
+                                  np.asarray(uv, np.float64)))
+        self._cam_points.setdefault(cam_name, set()).add(point_id)
+        self._point_cams.setdefault(point_id, set()).add(cam_name)
+
+    def remove_points(self, point_ids) -> None:
+        """Drop points + their observations; ids are remapped densely."""
+        drop = set(int(i) for i in point_ids)
+        keep = [i for i in range(len(self.points)) if i not in drop]
+        remap = {old: new for new, old in enumerate(keep)}
+        self.points = [self.points[i] for i in keep]
+        self.point_colors = [self.point_colors[i] for i in keep]
+        self.observations = [(c, remap[p], uv) for c, p, uv in
+                             self.observations if p in remap]
+        self._cam_points = {c: set() for c in self.cameras}
+        self._point_cams = {}
+        for c, p, uv in self.observations:
+            self._cam_points.setdefault(c, set()).add(p)
+            self._point_cams.setdefault(p, set()).add(c)
+
+    # -- queries ----------------------------------------------------------
+
+    @property
+    def num_cameras(self) -> int:
+        return len(self.cameras)
+
+    @property
+    def num_points(self) -> int:
+        return len(self.points)
+
+    @property
+    def num_observations(self) -> int:
+        return len(self.observations)
+
+    def points_array(self) -> np.ndarray:
+        if not self.points:
+            return np.zeros((0, 3))
+        return np.stack(self.points)
+
+    def points_seen_by(self, cam_name: str) -> set:
+        return self._cam_points.get(cam_name, set())
+
+    def cameras_seeing(self, point_id: int) -> set:
+        return self._point_cams.get(point_id, set())
+
+    def observations_of_camera(self, cam_name: str
+                               ) -> List[Tuple[int, np.ndarray]]:
+        return [(p, uv) for c, p, uv in self.observations if c == cam_name]
+
+    def stats(self) -> Dict:
+        """CPE/pipeline.py:163-177."""
+        track_lens = [len(v) for v in self._point_cams.values()]
+        return {
+            "num_cameras": self.num_cameras,
+            "num_points": self.num_points,
+            "num_observations": self.num_observations,
+            "mean_track_length": float(np.mean(track_lens)) if track_lens else 0.0,
+            "camera_names": sorted(self.cameras),
+        }
+
+    # -- device conversion --------------------------------------------------
+
+    def to_ba_problem(self, optimize_cams: Optional[List[str]] = None,
+                      fix_first: bool = True,
+                      optimize_intrinsics: bool = True):
+        """Pack into a BAProblem. optimize_cams: names whose pose is free
+        (None = all); others are frozen via the param mask — this realizes
+        the reference's incremental 'last <=3 cameras' BA
+        (bundle_adjusment.py:49-113)."""
+        import jax.numpy as jnp
+        from tpu3drec.ops.ba import BAProblem, make_cam_params
+
+        names = sorted(self.cameras)
+        cam_idx = {n: i for i, n in enumerate(names)}
+        from tpu3drec.ops.lie import log_so3
+        cams = np.stack([
+            np.asarray(make_cam_params(
+                np.asarray(log_so3(jnp.asarray(
+                    self.cameras[n].R.astype(np.float32)))),
+                self.cameras[n].t.astype(np.float32),
+                self.cameras[n].K.astype(np.float32)))
+            for n in names])
+        pts = self.points_array().astype(np.float32)
+        obs_cam = np.array([cam_idx[c] for c, _, _ in self.observations],
+                           np.int32)
+        obs_pt = np.array([p for _, p, _ in self.observations], np.int32)
+        obs_uv = np.stack([uv for _, _, uv in self.observations]) \
+            .astype(np.float32) if self.observations else np.zeros((0, 2), np.float32)
+
+        pm = np.ones((len(names), 10), np.float32)
+        if optimize_cams is not None:
+            free = {cam_idx[n] for n in optimize_cams if n in cam_idx}
+            for i in range(len(names)):
+                if i not in free:
+                    pm[i] = 0.0
+        if fix_first and names:
+            pm[0] = 0.0
+        if not optimize_intrinsics:
+            pm[:, 6:] = 0.0
+
+        prob = BAProblem(
+            cam_params=jnp.asarray(cams),
+            points=jnp.asarray(pts),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_mask=jnp.ones(len(obs_cam), bool),
+            param_mask=jnp.asarray(pm),
+            point_mask=jnp.ones(len(pts), bool),
+        )
+        return prob, names
+
+    def update_from_ba(self, cam_params: np.ndarray, points: np.ndarray,
+                       names: List[str]) -> None:
+        import jax.numpy as jnp
+        from tpu3drec.ops.ba import unpack_cam_params
+        from tpu3drec.ops.lie import exp_so3
+        cam_params = np.asarray(cam_params)
+        for i, n in enumerate(names):
+            rvec, tvec, K = unpack_cam_params(jnp.asarray(cam_params[i]))
+            self.cameras[n].R = np.asarray(exp_so3(rvec), np.float64)
+            self.cameras[n].t = np.asarray(tvec, np.float64)
+            self.cameras[n].K = np.asarray(K, np.float64)
+        pts = np.asarray(points, np.float64)
+        for i in range(min(len(self.points), len(pts))):
+            self.points[i] = pts[i]
+
+    # -- export ---------------------------------------------------------
+
+    def to_legacy_format(self) -> Dict:
+        """Reference export dict (CPE/pipeline.py:178-216, 1666-1721)."""
+        return {
+            "camera_poses": {
+                n: {"R": c.R.tolist(), "t": c.t.tolist(), "K": c.K.tolist(),
+                    "camera_matrix": c.K.tolist(),
+                    "rotation": c.R.tolist(), "translation": c.t.tolist(),
+                    "center": c.center.tolist(),
+                    "image_size": list(c.image_size)}
+                for n, c in self.cameras.items()
+            },
+            "points_3d": self.points_array().tolist(),
+            "point_colors": np.stack(self.point_colors).tolist()
+            if self.point_colors else [],
+            "num_observations": self.num_observations,
+            "statistics": self.stats(),
+        }
+
+    def save(self, path) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self.to_legacy_format(), f)
+
+    def export_colmap(self, output_dir) -> None:
+        from tpu3drec.io.colmap import export_sparse_model
+        names = sorted(self.cameras)
+        ids = {n: i + 1 for i, n in enumerate(names)}
+        cams = {ids[n]: {"K": self.cameras[n].K, "R": self.cameras[n].R,
+                         "t": self.cameras[n].t, "name": n,
+                         "width": self.cameras[n].image_size[0] or 0,
+                         "height": self.cameras[n].image_size[1] or 0}
+                for n in names}
+        obs = [(ids[c], p, uv[0], uv[1]) for c, p, uv in self.observations]
+        export_sparse_model(output_dir, cams, self.points_array(),
+                            np.stack(self.point_colors)
+                            if self.point_colors else None, obs)
