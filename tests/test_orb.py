@@ -1,0 +1,73 @@
+"""FAST + ORB functional tests: corner detection correctness and
+matching quality under known warps (reference traditional_detectors.py)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu3drec.ops.fast import fast_score_map, detect_fast
+from tpu3drec.ops.orb import detect_orb_features
+from tpu3drec.ops.match import match_features
+from tests.test_sift import photo, warp_pair, gt_inlier_rate  # noqa: F401
+
+
+def test_fast_detects_synthetic_corner():
+    img = np.zeros((32, 32), np.float32)
+    img[12:, 12:] = 1.0  # one sharp corner at (12, 12)
+    score = np.asarray(fast_score_map(jnp.asarray(img), 0.1))
+    ys, xs = np.unravel_index(score.argmax(), score.shape)
+    assert abs(ys - 12) <= 2 and abs(xs - 12) <= 2
+    # flat regions have zero score
+    assert score[:8, :8].max() == 0.0 and score[20:, 20:].max() == 0.0
+
+
+def test_fast_overlaps_cv2(photo):
+    u8 = (photo * 255).astype(np.uint8)
+    fast = cv2.FastFeatureDetector_create(threshold=20)
+    ref = {(int(k.pt[0]), int(k.pt[1])) for k in fast.detect(u8)}
+    xy, score, mask = detect_fast(jnp.asarray(photo), 512, 20.0 / 255.0)
+    ours = np.asarray(xy)[np.asarray(mask)]
+    # most of our corners lie within 2px of a cv2 FAST corner
+    ref_arr = np.array(sorted(ref)) if ref else np.zeros((0, 2))
+    d = np.abs(ours[:, None] - ref_arr[None]).max(axis=2).min(axis=1)
+    assert (d <= 2).mean() > 0.8, f"only {(d <= 2).mean():.0%} near cv2 corners"
+
+
+def test_orb_detects_and_describes(photo):
+    f = detect_orb_features(jnp.asarray(photo), max_features=512)
+    assert len(f) > 100
+    d = f.to_numpy()["desc"]
+    assert d.shape[1] == 256
+    assert set(np.unique(d)) <= {-1.0, 1.0}
+    assert f.desc_kind == "binary"
+
+
+def test_orb_matching_under_warp(photo):
+    warped, H = warp_pair(photo, angle_deg=15.0, scale=0.9)
+    f1 = detect_orb_features(jnp.asarray(photo), max_features=1024)
+    f2 = detect_orb_features(jnp.asarray(warped), max_features=1024)
+    m = match_features(f1, f2, ratio=0.85)
+    rate, n = gt_inlier_rate(f1, f2, m, H, tol=4.0)
+    assert n >= 40, f"too few matches: {n}"
+    assert rate > 0.5, f"GT inlier rate {rate:.2f} over {n}"
+
+
+def test_orb_descriptor_rotation_invariance(photo):
+    """Pure rotation: steered BRIEF must keep matching."""
+    warped, H = warp_pair(photo, angle_deg=40.0, scale=1.0, tx=0, ty=0)
+    f1 = detect_orb_features(jnp.asarray(photo), max_features=1024)
+    f2 = detect_orb_features(jnp.asarray(warped), max_features=1024)
+    m = match_features(f1, f2, ratio=0.85)
+    rate, n = gt_inlier_rate(f1, f2, m, H, tol=4.0)
+    assert n >= 30 and rate > 0.4, f"rotation: rate {rate:.2f} over {n}"
+
+
+def test_orb_api_entry(photo):
+    from tpu3drec.api import detect_features, match_images
+    f = detect_features(photo, "ORB", max_features=256)
+    assert len(f) > 50
+    warped, H = warp_pair(photo)
+    r = match_images(photo, warped, method="ORB", max_features=512)
+    assert r.num_matches > 20
+    assert r.inlier_ratio is None or r.inlier_ratio > 0.3

@@ -1,0 +1,168 @@
+"""AKAZE: nonlinear-diffusion scale space + Hessian detection + M-LDB
+binary descriptor.
+
+TPU-native replacement for cv2.AKAZE (reference
+traditional_detectors.py:92-128). Design notes vs the original:
+
+- The nonlinear scale space uses the g2 conductivity
+  (1 / (1 + |grad L|^2 / k^2)) with the contrast factor k taken from the
+  gradient-magnitude distribution, evolved by a FIXED number of explicit
+  diffusion steps per sublevel (tau <= 0.25 for stability). OpenCV's FED
+  solver varies step counts per evolution time; fixed steps keep the
+  program static and compile once — the scale spaces agree to within the
+  detector's tolerance.
+- Detection: sigma-normalized determinant-of-Hessian per sublevel, 3x3 NMS,
+  global top-K — matching KAZE/AKAZE's detector up to NMS tie-breaks.
+- Descriptor: M-LDB over a rotated 24x24 sampled patch; subregion means of
+  (intensity, dx, dy) compared across all pairs for 2x2 / 3x3 / 4x4 grids
+  = 486 bits, stored +-1 for MXU Hamming matching.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpu3drec.core.types import Features, DescriptorKind
+from tpu3drec.ops.harris import nms_2d, select_top_k
+from tpu3drec.ops.image import gaussian_blur, central_gradients
+
+N_SUBLEVELS = 4
+DIFF_STEPS = 4     # explicit diffusion steps per sublevel
+TAU = 0.22         # stable explicit step size
+PATCH = 24         # descriptor patch side (samples)
+
+
+def _diffusion_step(L: jnp.ndarray, k2: jnp.ndarray) -> jnp.ndarray:
+    """One explicit step of div(g(|grad L|) grad L) with g2 conductivity."""
+    dx, dy = central_gradients(L)
+    g = 1.0 / (1.0 + (dx * dx + dy * dy) / k2)
+    # flux differences (non-negative scheme on the 4-neighbourhood)
+    gr = 0.5 * (g + jnp.roll(g, -1, 1))
+    gl = 0.5 * (g + jnp.roll(g, 1, 1))
+    gd = 0.5 * (g + jnp.roll(g, -1, 0))
+    gu = 0.5 * (g + jnp.roll(g, 1, 0))
+    lap = (gr * (jnp.roll(L, -1, 1) - L) + gl * (jnp.roll(L, 1, 1) - L)
+           + gd * (jnp.roll(L, -1, 0) - L) + gu * (jnp.roll(L, 1, 0) - L))
+    return L + TAU * lap
+
+
+def _contrast_k2(img: jnp.ndarray, percentile: float = 70.0) -> jnp.ndarray:
+    dx, dy = central_gradients(gaussian_blur(img, 1.0))
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    k = jnp.percentile(mag.reshape(-1), percentile)
+    return jnp.maximum(k * k, 1e-8)
+
+
+def _hessian_response(L: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    dx, dy = central_gradients(L)
+    dxx, dxy = central_gradients(dx)
+    dyx, dyy = central_gradients(dy)
+    det = dxx * dyy - dxy * dyx
+    return (sigma ** 2) * det
+
+
+def _mldb_descriptor(L: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
+                     xy: jnp.ndarray, angle: jnp.ndarray,
+                     scale: jnp.ndarray) -> jnp.ndarray:
+    """(K, 486) +-1 M-LDB bits from a rotated scaled patch."""
+    from tpu3drec.ops.sift import _bilinear_many
+    lin = (jnp.arange(PATCH, dtype=jnp.float32) + 0.5) / PATCH - 0.5
+    gx, gy = jnp.meshgrid(lin, lin, indexing="xy")
+    ox = gx.ravel() * 2.0  # patch spans +-1 scale units * scale * 10 px
+    oy = gy.ravel() * 2.0
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    ext = 10.0 * scale[:, None]
+    px = xy[:, 0:1] + (ca[:, None] * ox[None] - sa[:, None] * oy[None]) * ext
+    py = xy[:, 1:2] + (sa[:, None] * ox[None] + ca[:, None] * oy[None]) * ext
+    vi = _bilinear_many(L, px, py)      # (K, P*P)
+    vx0 = _bilinear_many(dx, px, py)
+    vy0 = _bilinear_many(dy, px, py)
+    # rotate gradients into the keypoint frame
+    vx = ca[:, None] * vx0 + sa[:, None] * vy0
+    vy = -sa[:, None] * vx0 + ca[:, None] * vy0
+
+    K = xy.shape[0]
+    feats = jnp.stack([vi, vx, vy], axis=1)  # (K, 3, P*P)
+    bits = []
+    for g in (2, 3, 4):
+        cell = PATCH // g
+        f = feats.reshape(K, 3, PATCH, PATCH)
+        f = f.reshape(K, 3, g, cell, g, cell).mean(axis=(3, 5))  # (K,3,g,g)
+        f = f.reshape(K, 3, g * g)
+        pairs = list(itertools.combinations(range(g * g), 2))
+        ia = jnp.asarray([p[0] for p in pairs])
+        ib = jnp.asarray([p[1] for p in pairs])
+        cmp = jnp.where(f[:, :, ia] > f[:, :, ib], 1.0, -1.0)  # (K,3,P)
+        bits.append(cmp.reshape(K, -1))
+    return jnp.concatenate(bits, axis=1)  # (K, 3*(6+36+120)) = (K, 486)
+
+
+@functools.partial(jax.jit, static_argnames=("max_features", "n_octaves"))
+def _akaze_impl(img: jnp.ndarray, max_features: int, n_octaves: int,
+                threshold: float):
+    h0, w0 = img.shape
+    k2 = _contrast_k2(img)
+    parts = []
+    base = gaussian_blur(img, 1.6)
+    for o in range(n_octaves):
+        s = 2.0 ** o
+        h, w = max(int(h0 / s), 32), max(int(w0 / s), 32)
+        L = base if o == 0 else jax.image.resize(base, (h, w), "linear")
+        for sub in range(N_SUBLEVELS):
+            sigma = 1.6 * (2.0 ** (sub / N_SUBLEVELS))
+            for _ in range(DIFF_STEPS):
+                L = _diffusion_step(L, k2)
+            resp = _hessian_response(L, sigma)
+            peaks = nms_2d(resp, 1) & (resp > threshold)
+            yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xx = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            interior = (yy >= 10) & (yy < h - 10) & (xx >= 10) & (xx < w - 10)
+            k_level = max(max_features // (2 ** o) // N_SUBLEVELS, 32)
+            k_level = min(k_level, h * w)
+            xy, r, mask = select_top_k(resp, peaks & interior, k_level)
+            dx, dy = central_gradients(L)
+            # orientation: intensity-centroid of gradient magnitude is a
+            # stable cheap proxy for AKAZE's sliding-window orientation
+            from tpu3drec.ops.sift import _bilinear_many, _patch_offsets
+            offs = _patch_offsets(9) * 12.0 * sigma
+            sx = xy[:, 0:1] + offs[None, :, 0]
+            sy = xy[:, 1:2] + offs[None, :, 1]
+            gxv = _bilinear_many(dx, sx, sy)
+            gyv = _bilinear_many(dy, sx, sy)
+            angle = jnp.arctan2(jnp.sum(gyv, 1), jnp.sum(gxv, 1))
+            desc = _mldb_descriptor(L, dx, dy, xy, angle,
+                                    jnp.full((k_level,), sigma, jnp.float32))
+            parts.append(dict(
+                xy=xy * s,
+                response=jnp.where(mask, r, -jnp.inf),
+                scale=jnp.full((k_level,), sigma * s * 6.0, jnp.float32),
+                angle=angle, desc=desc, mask=mask))
+    merged = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+    sc = jnp.where(merged["mask"], merged["response"], -jnp.inf)
+    _, order = lax.top_k(sc, max_features)
+    out = {k: v[order] for k, v in merged.items()}
+    out["mask"] = out["mask"] & (sc[order] > -jnp.inf)
+    out["response"] = jnp.where(out["mask"], out["response"], 0.0)
+    return (out["xy"], out["response"], out["scale"], out["angle"],
+            out["desc"], out["mask"])
+
+
+def detect_akaze_features(img: jnp.ndarray, max_features: int = 2048,
+                          threshold: float = 0.001, n_octaves: int = 4,
+                          n_octave_layers: int = 4,
+                          method: str = "AKAZE", **_unused) -> Features:
+    """cv2.AKAZE defaults: threshold=0.001, 4 octaves."""
+    xy, resp, scale, angle, desc, mask = _akaze_impl(
+        img, max_features, n_octaves, threshold)
+    return Features(xy=xy, response=resp, scale=scale, angle=angle,
+                    desc=desc, mask=mask, method=method,
+                    desc_kind=DescriptorKind.BINARY.value,
+                    image_shape=tuple(img.shape))

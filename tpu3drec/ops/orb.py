@@ -1,0 +1,153 @@
+"""ORB: FAST pyramid + Harris ranking + intensity-centroid orientation +
+steered BRIEF binary descriptors.
+
+TPU-native replacement for cv2.ORB_create (reference
+traditional_detectors.py:54-91). Differences from OpenCV, by design:
+
+- the 256 BRIEF point pairs are drawn from the isotropic Gaussian sampling
+  of the original BRIEF paper (seeded, fixed at import) rather than
+  OpenCV's learned bit pattern — descriptors are self-consistent within
+  this framework (bit-compatibility with cv2 is impossible anyway once the
+  detector pipeline differs) and matching quality is asserted functionally
+  in tests;
+- descriptors are stored as +-1 float so Hamming distance runs on the MXU
+  as a matmul (core_data_structures rebuild, see ops/match.py).
+
+Pipeline per level (static python loop over the scale pyramid):
+FAST-9 -> 3x3 NMS -> Harris re-ranking of survivors -> per-level top-K ->
+orientation via 31x31 intensity-centroid convs -> rotated pair sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpu3drec.core.types import Features, DescriptorKind
+from tpu3drec.ops.fast import fast_score_map
+from tpu3drec.ops.harris import harris_response, nms_2d, select_top_k
+from tpu3drec.ops.image import gaussian_blur
+
+DESC_BITS = 256
+PATCH_R = 15  # orientation / descriptor patch radius (cv2: 31x31 patch)
+
+# Fixed BRIEF sampling pattern: pairs ~ N(0, (PATCH_R/2)^2), seeded.
+_rng = np.random.default_rng(20120916)  # fixed: pattern is part of the format
+_PAIRS = np.clip(_rng.normal(0.0, PATCH_R / 2.0, size=(DESC_BITS, 4)),
+                 -PATCH_R, PATCH_R).astype(np.float32)
+BRIEF_PAIRS = jnp.asarray(_PAIRS)  # (256, 4) = x1, y1, x2, y2
+
+
+def _centroid_kernels() -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """31x31 circular-masked x- and y-moment kernels."""
+    r = PATCH_R
+    ys, xs = np.mgrid[-r:r + 1, -r:r + 1]
+    mask = (xs ** 2 + ys ** 2) <= r * r
+    kx = (xs * mask).astype(np.float32)
+    ky = (ys * mask).astype(np.float32)
+    return jnp.asarray(kx), jnp.asarray(ky)
+
+
+_KX, _KY = _centroid_kernels()
+
+
+def _moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """m10, m01 maps via one 2-channel 31x31 convolution."""
+    x = img[None, None]
+    w = jnp.stack([_KX, _KY])[:, None]  # (2, 1, 31, 31)
+    y = lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                 precision=lax.Precision.HIGHEST)
+    return y[0, 0], y[0, 1]
+
+
+def _describe(img: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
+              ) -> jnp.ndarray:
+    """Steered BRIEF: (K, 256) +-1 floats."""
+    from tpu3drec.ops.sift import _bilinear_many
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    x1, y1, x2, y2 = (BRIEF_PAIRS[:, 0], BRIEF_PAIRS[:, 1],
+                      BRIEF_PAIRS[:, 2], BRIEF_PAIRS[:, 3])
+
+    def rot(px, py):
+        rx = ca[:, None] * px[None] - sa[:, None] * py[None]
+        ry = sa[:, None] * px[None] + ca[:, None] * py[None]
+        return xy[:, 0:1] + rx, xy[:, 1:2] + ry
+
+    ax, ay = rot(x1, y1)
+    bx, by = rot(x2, y2)
+    va = _bilinear_many(img, ax, ay)
+    vb = _bilinear_many(img, bx, by)
+    return jnp.where(va < vb, 1.0, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_features", "n_levels",
+                                             "scale_factor_x1000"))
+def _orb_impl(img: jnp.ndarray, max_features: int, n_levels: int,
+              scale_factor_x1000: int, fast_threshold: float,
+              harris_k: float):
+    scale_factor = scale_factor_x1000 / 1000.0
+    h0, w0 = img.shape
+    parts = []
+    # per-level budget ~ proportional to area (cv2's allocation)
+    areas = [1.0 / (scale_factor ** (2 * l)) for l in range(n_levels)]
+    total_area = sum(areas)
+    for level in range(n_levels):
+        s = scale_factor ** level
+        h, w = max(int(round(h0 / s)), 16), max(int(round(w0 / s)), 16)
+        im = img if level == 0 else jax.image.resize(img, (h, w), "linear")
+        blur = gaussian_blur(im, 1.0)  # descriptors sample the blurred image
+        score = fast_score_map(im, fast_threshold)
+        peaks = nms_2d(score, 1) & (score > 0)
+        # Harris re-ranking of FAST survivors (cv2 HARRIS_SCORE)
+        harris = harris_response(im, block_size=7, k=harris_k)
+        rank = jnp.where(peaks, harris, -jnp.inf)
+        k_level = max(int(max_features * areas[level] / total_area), 32)
+        k_level = min(k_level, h * w)
+        xy, resp, mask = select_top_k(rank, peaks, k_level)
+        # orientation by intensity centroid
+        m10, m01 = _moment_maps(blur)
+        xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
+        angle = jnp.arctan2(m01[yi, xi], m10[yi, xi])
+        desc = _describe(blur, xy, angle)
+        parts.append(dict(
+            xy=xy * s,
+            response=jnp.where(mask, resp, -jnp.inf),
+            scale=jnp.full((k_level,), 31.0 * s, jnp.float32),
+            angle=angle,
+            desc=desc,
+            mask=mask,
+        ))
+    merged = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
+    score_all = jnp.where(merged["mask"], merged["response"], -jnp.inf)
+    _, order = lax.top_k(score_all, max_features)
+    out = {k: v[order] for k, v in merged.items()}
+    out["mask"] = out["mask"] & (score_all[order] > -jnp.inf)
+    out["response"] = jnp.where(out["mask"], out["response"], 0.0)
+    return (out["xy"], out["response"], out["scale"], out["angle"],
+            out["desc"], out["mask"])
+
+
+def detect_orb_features(img: jnp.ndarray, max_features: int = 2048,
+                        n_levels: int = 8, scale_factor: float = 1.2,
+                        fast_threshold: float = 20.0 / 255.0,
+                        harris_k: float = 0.04,
+                        method: str = "ORB", **_unused) -> Features:
+    """Detector contract: cv2.ORB defaults (n_levels=8, scale=1.2,
+    fast_threshold=20 -> 0.078 in [0,1] units)."""
+    if fast_threshold > 1.0:  # accept cv2-style 0-255 thresholds
+        fast_threshold = fast_threshold / 255.0
+    xy, resp, scale, angle, desc, mask = _orb_impl(
+        img, max_features, n_levels, int(round(scale_factor * 1000)),
+        fast_threshold, harris_k)
+    return Features(xy=xy, response=resp, scale=scale, angle=angle,
+                    desc=desc, mask=mask, method=method,
+                    desc_kind=DescriptorKind.BINARY.value,
+                    image_shape=tuple(img.shape))
