@@ -1,0 +1,214 @@
+"""Dense stage tests: SGM stereo on synthetic GT disparity, point-cloud
+ops, meshing, and the full dense pipeline (reference DenseReconstruction)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu3drec.ops.stereo import (
+    cost_volume, sgm_aggregate, winner_take_all, stereo_depth_rectified,
+    fuse_depth_maps,
+)
+from tpu3drec.ops import pointcloud as pc
+from tpu3drec.ops import mesh as mesh_ops
+from tpu3drec.pipelines.dense import (
+    DenseReconstructionPipeline, run_dense_reconstruction,
+    validate_sparse_input,
+)
+
+
+H, W = 96, 128
+FOCAL, BASELINE = 100.0, 0.5
+
+
+def make_stereo_pair(seed=0):
+    """Left = texture; right = per-pixel GT-disparity shift of it.
+
+    Scene: background plane at depth 10 (disp 5), square at depth 5
+    (disp 10). disparity = f*B/z.
+    """
+    rng = np.random.default_rng(seed)
+    tex = rng.uniform(0, 1, (H, W + 32)).astype(np.float32)
+    # smooth the texture a bit so matching is not pixel-noise driven
+    k = np.array([0.25, 0.5, 0.25])
+    for ax in (0, 1):
+        tex = (np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, tex)).astype(np.float32)
+    depth = np.full((H, W), 10.0, np.float32)
+    depth[30:70, 40:90] = 5.0
+    disp = FOCAL * BASELINE / depth
+    left = tex[:, 16:16 + W]
+    # convention of ops/stereo.cost_volume: left(x) matches right(x - d),
+    # i.e. right(x) = left(x + d) = tex[x + d + 16], sampled bilinearly
+    xs = np.arange(W)[None, :] + disp
+    xi = np.clip(xs.astype(int), 0, W + 30)
+    fr = xs - xi
+    row = np.arange(H)[:, None] * np.ones((1, W), int)
+    right = (1 - fr) * tex[row, np.clip(xi + 16, 0, W + 31)] \
+        + fr * tex[row, np.clip(xi + 17, 0, W + 31)]
+    return left.astype(np.float32), right.astype(np.float32), disp, depth
+
+
+def test_sgm_recovers_disparity():
+    left, right, gt_disp, gt_depth = make_stereo_pair()
+    # disparity convention in cost_volume: left(x) ~ right(x - d)
+    # our right(x) = left(x + d) means left(x) = right(x - d): consistent
+    res = stereo_depth_rectified(jnp.asarray(left), jnp.asarray(right),
+                                 jnp.float32(FOCAL), jnp.float32(BASELINE),
+                                 num_disparities=16)
+    valid = np.asarray(res.valid)
+    disp = np.asarray(res.disparity)
+    interior = np.zeros_like(valid)
+    interior[4:-4, 16:-4] = True
+    m = valid & interior
+    assert m.mean() > 0.5, f"too little valid disparity: {m.mean():.0%}"
+    err = np.abs(disp - gt_disp)[m]
+    assert np.median(err) < 0.5, f"median disparity error {np.median(err):.2f}"
+    depth_err = np.abs(np.asarray(res.depth) - gt_depth)[m]
+    assert np.median(depth_err) < 0.5
+
+
+def test_fuse_depth_maps_methods():
+    d1 = jnp.full((8, 8), 2.0)
+    d2 = jnp.full((8, 8), 4.0)
+    v1 = jnp.ones((8, 8), bool)
+    v2 = jnp.ones((8, 8), bool).at[0, 0].set(False)
+    depths = jnp.stack([d1, d2])
+    valids = jnp.stack([v1, v2])
+    base = jnp.asarray([1.0, 3.0])
+    fused, av = fuse_depth_maps(depths, valids, base, "weighted")
+    np.testing.assert_allclose(fused[1, 1], (2 * 1 + 4 * 3) / 4, atol=1e-5)
+    np.testing.assert_allclose(fused[0, 0], 2.0, atol=1e-5)  # only d1 valid
+    fused_b, _ = fuse_depth_maps(depths, valids, base, "best")
+    np.testing.assert_allclose(fused_b[1, 1], 4.0)  # widest baseline
+    fused_m, _ = fuse_depth_maps(depths, valids, base, "median")
+    assert np.isfinite(np.asarray(fused_m)).all()
+
+
+def test_backprojection_roundtrip():
+    K = np.array([[100, 0, 64], [0, 100, 48], [0, 0, 1]], np.float32)
+    depth = np.full((96, 128), 7.0, np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    pts, colors, mask = pc.depth_map_to_point_cloud(
+        jnp.asarray(depth), jnp.asarray(K), jnp.asarray(R), jnp.asarray(t))
+    p = np.asarray(pts)
+    assert np.allclose(p[:, 2], 7.0, atol=1e-4)
+    # reproject: u = fx*x/z + cx should give back the pixel grid
+    u = 100 * p[:, 0] / p[:, 2] + 64
+    assert np.allclose(u[:128], np.arange(128), atol=1e-3)
+
+
+def test_statistical_outlier_removal():
+    rng = np.random.default_rng(0)
+    plane = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+    plane[:, 2] *= 0.01
+    outliers = plane[:20].copy()
+    outliers[:, 2] += 5.0
+    pts = jnp.asarray(np.concatenate([plane, outliers]))
+    mask = jnp.ones(len(pts), bool)
+    keep = np.asarray(pc.statistical_outlier_mask(pts, mask, k=10,
+                                                  std_ratio=2.0))
+    assert keep[:500].mean() > 0.95
+    assert keep[500:].sum() == 0
+
+
+def test_normals_of_plane():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+    pts[:, 2] = 0.5  # z = const plane
+    normals = np.asarray(pc.estimate_normals(
+        jnp.asarray(pts), jnp.ones(300, bool),
+        viewpoint=jnp.asarray([0.0, 0.0, 10.0])))
+    assert np.abs(normals[:, 2]).mean() > 0.99
+    assert (normals[:, 2] > 0).mean() > 0.99  # oriented toward viewpoint
+
+
+def test_voxel_downsample_and_fps():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(0, 1, (1000, 3)).astype(np.float32)
+    down, _ = pc.voxel_downsample(pts, 0.25)
+    assert 10 < len(down) < 200
+    idx = np.asarray(pc.farthest_point_downsample(
+        jnp.asarray(pts), jnp.ones(1000, bool), 50))
+    assert len(np.unique(idx)) == 50
+
+
+def test_icp_recovers_transform():
+    rng = np.random.default_rng(3)
+    src = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    import cv2
+    R_gt = cv2.Rodrigues(np.array([0.0, 0.1, 0.05]))[0].astype(np.float32)
+    t_gt = np.array([0.05, -0.02, 0.1], np.float32)
+    dst = src @ R_gt.T + t_gt
+    R, t = pc.icp_register(jnp.asarray(src), jnp.asarray(dst),
+                           jnp.ones(200, bool), jnp.ones(200, bool))
+    moved = np.asarray(jnp.asarray(src) @ R.T + t)
+    assert np.abs(moved - dst).max() < 1e-3
+
+
+def test_depth_map_to_mesh_and_quality():
+    K = np.array([[100, 0, 64], [0, 100, 48], [0, 0, 1]], np.float64)
+    depth = np.full((96, 128), 5.0)
+    verts, faces = mesh_ops.depth_map_to_mesh(depth, K, stride=4)
+    assert len(verts) > 100 and len(faces) > 100
+    q = mesh_ops.mesh_quality(verts, faces)
+    # flat plane at z=5 spanning the frustum
+    assert abs(verts[:, 2].mean() - 5.0) < 1e-6
+    assert q["surface_area"] > 0
+    v2, f2 = mesh_ops.smooth_mesh(verts, faces, iterations=2)
+    assert np.abs(v2[:, 2] - 5.0).max() < 1e-6  # smoothing preserves plane
+    v3, f3 = mesh_ops.simplify_mesh(verts, faces, target_faces=len(faces) // 4)
+    assert len(f3) < len(faces)
+
+
+def test_mesh_exports(tmp_path):
+    K = np.array([[100, 0, 64], [0, 100, 48], [0, 0, 1]], np.float64)
+    verts, faces = mesh_ops.depth_map_to_mesh(np.full((48, 64), 3.0), K,
+                                              stride=4)
+    mesh_ops.save_obj(tmp_path / "m.obj", verts, faces)
+    lines = (tmp_path / "m.obj").read_text().splitlines()
+    assert sum(1 for l in lines if l.startswith("v ")) == len(verts)
+    pc.save_ply(tmp_path / "p.ply", verts)
+    assert (tmp_path / "p.ply").read_text().startswith("ply")
+
+
+def test_validate_sparse_input():
+    assert validate_sparse_input({}) == ["missing camera_poses"]
+    good = {"camera_poses": {"a": {"camera_matrix": [], "rotation": [],
+                                   "translation": []}},
+            "points_3d": []}
+    assert validate_sparse_input(good) == []
+
+
+def test_dense_pipeline_end_to_end(tmp_path):
+    """Two posed views of the synthetic stereo scene -> full dense run."""
+    left, right, gt_disp, gt_depth = make_stereo_pair()
+    K = np.array([[FOCAL, 0, W / 2], [0, FOCAL, H / 2], [0, 0, 1]])
+    sparse = {
+        "camera_poses": {
+            "left.png": {"camera_matrix": K.tolist(),
+                         "rotation": np.eye(3).tolist(),
+                         "translation": [0, 0, 0]},
+            "right.png": {"camera_matrix": K.tolist(),
+                          "rotation": np.eye(3).tolist(),
+                          "translation": [-BASELINE, 0, 0]},
+        },
+        "points_3d": [[0, 0, 10]],
+    }
+    images = {"left.png": left, "right.png": right}
+    res = run_dense_reconstruction(sparse, images, output_dir=tmp_path,
+                                   num_disparities=16,
+                                   reference_view="left.png")
+    assert res["depth"]["valid_fraction"] > 0.3
+    assert res["point_cloud"]["num_points"] > 500
+    assert res["mesh"]["num_faces"] > 100
+    for f in ("fused_depth.npy", "point_cloud.ply", "mesh.obj",
+              "dense_report.json"):
+        assert (tmp_path / f).exists(), f
+    report = json.loads((tmp_path / "dense_report.json").read_text())
+    assert report["num_views"] == 2

