@@ -6,23 +6,26 @@ traditional_detectors.py:16-52). Structure (mirrors Lowe's algorithm and
 OpenCV's implementation, re-designed for the TPU compilation model):
 
   octave loop (STATIC python loop — one trace per octave resolution)
-    Gaussian pyramid: n_layers+3 separable blurs            (conv, VPU)
-    DoG stack: adjacent differences                         (fused sub)
-    extrema: 3x3x3 min/max reduce_window + contrast gate    (VPU)
-    per-octave top-K candidates (fixed capacity)            (top_k)
-    subpixel refine: batched 3x3x3 quadratic fit            (vmap, 3x3 solve)
+    Gaussian pyramid: blurs as banded-matrix MXU matmuls  (ops/image.py)
+    DoG stack: adjacent differences                        (fused sub)
+    extrema: separable shift-max over the 3x3x3 nbhd + contrast gate (VPU)
+    per-octave candidates: lax.approx_max_k (TPU-native partial top-k)
+    subpixel refine: batched 3x3x3 quadratic fit           (vmapped solve)
     edge rejection: 2x2 spatial Hessian ratio test
-    orientation: fixed 17x17 gradient-patch histogram, 36 bins (gather+einsum)
+    orientation: fixed 13x13 gradient-patch histogram, 36 bins
     descriptor: fixed 16x16 rotated-patch samples -> 4x4x8 trilinear
-                binning as one-hot einsum -> (K, 128)        (MXU-friendly)
+                binning; the row/col one-hots are keypoint-independent
+                constants, so binning is one small batched matmul
   global top-K across octaves by |contrast|
 
-Variable-radius windows (cv2 uses per-keypoint pixel radii) become
-fixed-count sample grids scaled by the keypoint's octave-relative scale —
-identical math, static shapes. Keypoints are *not* bit-identical to OpenCV's
-(different NMS tie-breaks, single dominant orientation per keypoint); parity
-is asserted at the matching level: GT-homography inlier rates and
-reprojection errors on par with cv2.SIFT (see tests/test_sift.py).
+All per-keypoint sampling uses LINEARIZED 1-D gathers (flat indices into
+the (S*H*W,) stack) — multi-axis advanced indexing lowers to slow general
+gathers on TPU, single-axis gathers are fast.
+
+Keypoints are not bit-identical to OpenCV's (different NMS tie-breaks,
+single dominant orientation per keypoint); parity is asserted at the
+matching level: GT-homography inlier rates and reprojection errors on par
+with cv2.SIFT (tests/test_sift.py).
 """
 
 from __future__ import annotations
@@ -33,10 +36,11 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tpu3drec.core.types import Features, DescriptorKind
-from tpu3drec.ops.image import gaussian_blur, downsample2
+from tpu3drec.ops.image import gaussian_blur_matmul, downsample2
 
 # ---------------------------------------------------------------------
 # constants (OpenCV defaults)
@@ -47,12 +51,11 @@ INIT_SIGMA = 0.5        # assumed blur of the input image
 ORI_BINS = 36
 ORI_SIG_FCTR = 1.5
 ORI_RADIUS_FCTR = 4.5   # 3 * ORI_SIG_FCTR
-ORI_PEAK_RATIO = 0.8
 DESC_D = 4              # descriptor spatial bins
 DESC_B = 8              # orientation bins
 DESC_SCL_FCTR = 3.0     # hist width = 3 * scale
 DESC_MAG_THR = 0.2
-ORI_SAMPLES = 17        # fixed orientation-patch side
+ORI_SAMPLES = 13        # fixed orientation-patch side
 DESC_SAMPLES = 16       # fixed descriptor-patch side
 
 
@@ -60,36 +63,42 @@ def num_octaves(h: int, w: int, min_size: int = 16) -> int:
     return max(1, int(math.floor(math.log2(min(h, w) / min_size))) + 1)
 
 
-def _gaussian_pyramid(img: jnp.ndarray) -> List[jnp.ndarray]:
-    """One octave's stack of N_LAYERS+3 progressively blurred images.
-
-    Returns a (S, H, W) array; the caller downsamples layer N_LAYERS for the
-    next octave (cv2's convention).
-    """
+def _gaussian_pyramid(img: jnp.ndarray) -> jnp.ndarray:
+    """(N_LAYERS+3, H, W) progressively blurred stack (one octave)."""
     k = 2.0 ** (1.0 / N_LAYERS)
-    sigmas = [SIGMA0]
+    gs = [img]
     for i in range(1, N_LAYERS + 3):
         sig_prev = SIGMA0 * (k ** (i - 1))
         sig_total = sig_prev * k
-        sigmas.append(math.sqrt(sig_total ** 2 - sig_prev ** 2))
-    gs = [img]
-    for i in range(1, N_LAYERS + 3):
-        gs.append(gaussian_blur(gs[-1], sigmas[i]))
+        sig = math.sqrt(sig_total ** 2 - sig_prev ** 2)
+        gs.append(gaussian_blur_matmul(gs[-1], sig))
     return jnp.stack(gs)
 
 
-def _dog_extrema_mask(dog: jnp.ndarray, contrast_threshold: float) -> jnp.ndarray:
-    """(S-?,H,W) bool: strict 26-neighbourhood extrema above the prelim gate.
+def _shift_max3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Max over the 3-neighbourhood along one axis (edge-clamped)."""
+    fwd = jnp.concatenate([lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+                           lax.slice_in_dim(x, x.shape[axis] - 1,
+                                            x.shape[axis], axis=axis)],
+                          axis=axis)
+    bwd = jnp.concatenate([lax.slice_in_dim(x, 0, 1, axis=axis),
+                           lax.slice_in_dim(x, 0, x.shape[axis] - 1,
+                                            axis=axis)], axis=axis)
+    return jnp.maximum(x, jnp.maximum(fwd, bwd))
 
-    dog is the (N_LAYERS+2, H, W) DoG stack; output covers layers 1..N_LAYERS
-    (same shape, borders False).
-    """
+
+def _separable_extrema(dog: jnp.ndarray):
+    """(S,H,W) max and min over each voxel's 3x3x3 neighbourhood."""
+    mx = _shift_max3(_shift_max3(_shift_max3(dog, 0), 1), 2)
+    mn = -_shift_max3(_shift_max3(_shift_max3(-dog, 0), 1), 2)
+    return mx, mn
+
+
+def _dog_extrema_mask(dog: jnp.ndarray, contrast_threshold: float) -> jnp.ndarray:
     s, h, w = dog.shape
-    mx = lax.reduce_window(dog, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1), "SAME")
-    mn = lax.reduce_window(dog, jnp.inf, lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+    mx, mn = _separable_extrema(dog)
     prelim = 0.5 * contrast_threshold / N_LAYERS
     is_ext = ((dog >= mx) | (dog <= mn)) & (jnp.abs(dog) > prelim)
-    # valid layers: 1..N_LAYERS; valid pixels: away from image border
     ss = lax.broadcasted_iota(jnp.int32, dog.shape, 0)
     yy = lax.broadcasted_iota(jnp.int32, dog.shape, 1)
     xx = lax.broadcasted_iota(jnp.int32, dog.shape, 2)
@@ -99,24 +108,25 @@ def _dog_extrema_mask(dog: jnp.ndarray, contrast_threshold: float) -> jnp.ndarra
     return is_ext & ok
 
 
+def _flat_gather(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """1-D gather — the TPU-fast indexing primitive."""
+    return jnp.take(flat, idx, axis=0)
+
+
 def _refine_candidates(dog: jnp.ndarray, sel_s, sel_y, sel_x,
                        contrast_threshold: float, edge_threshold: float):
-    """Batched quadratic subpixel refinement + contrast & edge rejection.
+    """Batched quadratic subpixel refinement + contrast & edge rejection."""
+    s, h, w = dog.shape
+    flat = dog.reshape(-1)
+    base = sel_s * (h * w) + sel_y * w + sel_x
 
-    One Newton step on the 3x3x3 neighbourhood (cv2 iterates up to 5 times
-    moving between pixels; a single clamped step changes keypoints by <0.5px
-    which is below our parity tolerance).
-    Returns (xs, ys, layer_offset, contrast, keep).
-    """
     def grab(ds, dy, dx):
-        return dog[sel_s + ds, sel_y + dy, sel_x + dx]
+        return _flat_gather(flat, base + ds * (h * w) + dy * w + dx)
 
     v = grab(0, 0, 0)
-    # first derivatives (scale, y, x)
     d_s = 0.5 * (grab(1, 0, 0) - grab(-1, 0, 0))
     d_y = 0.5 * (grab(0, 1, 0) - grab(0, -1, 0))
     d_x = 0.5 * (grab(0, 0, 1) - grab(0, 0, -1))
-    # second derivatives
     dss = grab(1, 0, 0) + grab(-1, 0, 0) - 2 * v
     dyy = grab(0, 1, 0) + grab(0, -1, 0) - 2 * v
     dxx = grab(0, 0, 1) + grab(0, 0, -1) - 2 * v
@@ -128,9 +138,8 @@ def _refine_candidates(dog: jnp.ndarray, sel_s, sel_y, sel_x,
         jnp.stack([dss, dsy, dsx], -1),
         jnp.stack([dsy, dyy, dyx], -1),
         jnp.stack([dsx, dyx, dxx], -1),
-    ], -2)  # (K, 3, 3)
-    g = jnp.stack([d_s, d_y, d_x], -1)  # (K, 3)
-    # solve H @ off = -g ; guard singular Hessians
+    ], -2)
+    g = jnp.stack([d_s, d_y, d_x], -1)
     det = jnp.linalg.det(H)
     Hsafe = jnp.where(jnp.abs(det)[:, None, None] > 1e-12, H,
                       jnp.eye(3, dtype=H.dtype))
@@ -139,8 +148,6 @@ def _refine_candidates(dog: jnp.ndarray, sel_s, sel_y, sel_x,
 
     contrast = v + 0.5 * jnp.sum(g * off, axis=-1)
     keep = jnp.abs(contrast) >= contrast_threshold / N_LAYERS
-
-    # edge response: 2x2 spatial Hessian (y, x)
     tr = dyy + dxx
     det2 = dyy * dxx - dyx * dyx
     r = edge_threshold
@@ -153,51 +160,79 @@ def _refine_candidates(dog: jnp.ndarray, sel_s, sel_y, sel_x,
 
 
 def _patch_offsets(n: int) -> jnp.ndarray:
-    """(n*n, 2) unit-square sample offsets in [-0.5, 0.5]^2, row-major (x, y)."""
     lin = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n - 0.5
     gx, gy = jnp.meshgrid(lin, lin, indexing="xy")
     return jnp.stack([gx.ravel(), gy.ravel()], axis=1)
 
 
-def _bilinear_many(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Bilinear sample of (H, W) image at arbitrary-shaped x, y arrays."""
-    h, w = img.shape
+def _sample_stack(stack_flat: jnp.ndarray, h: int, w: int,
+                  layer: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Bilinear sample a flattened (S*H*W,) stack at per-keypoint layers.
+
+    layer: (K,) int32; x, y: (K, P) float coords. One linearized gather per
+    bilinear tap.
+    """
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
+    base = (layer * (h * w))[:, None]
+    i00 = base + y0 * w + x0
+    v00 = _flat_gather(stack_flat, i00)
+    v01 = _flat_gather(stack_flat, i00 + 1)
+    v10 = _flat_gather(stack_flat, i00 + w)
+    v11 = _flat_gather(stack_flat, i00 + w + 1)
     return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
             + fy * ((1 - fx) * v10 + fx * v11))
 
 
-def _orientation(dxs: jnp.ndarray, dys: jnp.ndarray,
-                 xs: jnp.ndarray, ys: jnp.ndarray,
-                 scl: jnp.ndarray) -> jnp.ndarray:
-    """Dominant gradient orientation per keypoint (radians).
+# static descriptor-binning constants ---------------------------------
 
-    dxs/dys: per-layer gradient images (S, H, W) — caller selects the layer
-    by passing pre-gathered (K, H, W)? No: we pass single-layer gradients and
-    vmap outside. Here dxs, dys are (H, W); xs, ys, scl are (K,).
-    """
-    P = ORI_SAMPLES
-    offs = _patch_offsets(P) * 2.0 * ORI_RADIUS_FCTR  # in scale units
-    # sample positions: x + off * scl
-    px = xs[:, None] + offs[None, :, 0] * scl[:, None]   # (K, P*P)
-    py = ys[:, None] + offs[None, :, 1] * scl[:, None]
-    gx = _bilinear_many(dxs, px, py)
-    gy = _bilinear_many(dys, px, py)
+def _static_desc_bins():
+    """Row/col trilinear one-hots are keypoint-independent: (P, 16)."""
+    P = DESC_SAMPLES
+    offs = np.asarray(_patch_offsets(P))
+    win = DESC_SCL_FCTR * (DESC_D + 1)
+    ox = offs[:, 0] * win
+    oy = offs[:, 1] * win
+    wgt = np.exp(-(ox ** 2 + oy ** 2)
+                 / (2 * (0.5 * DESC_D * DESC_SCL_FCTR) ** 2))
+
+    def lin_onehot(binf, n):
+        b0 = np.floor(binf).astype(int)
+        f = binf - b0
+        oh = np.zeros((len(binf), n), np.float32)
+        for i, (b, ff) in enumerate(zip(b0, f)):
+            if 0 <= b < n:
+                oh[i, b] += 1 - ff
+            if 0 <= b + 1 < n:
+                oh[i, b + 1] += ff
+        return oh
+
+    rbin = oy / DESC_SCL_FCTR + DESC_D / 2 - 0.5
+    cbin = ox / DESC_SCL_FCTR + DESC_D / 2 - 0.5
+    ohr = lin_onehot(rbin, DESC_D)            # (P*P, 4)
+    ohc = lin_onehot(cbin, DESC_D)
+    # combined spatial one-hot weighted by the Gaussian window: (P*P, 16)
+    rc = (ohr[:, :, None] * ohc[:, None, :]).reshape(len(ox), -1)
+    rc = rc * wgt[:, None]
+    return (jnp.asarray(ox.astype(np.float32)),
+            jnp.asarray(oy.astype(np.float32)),
+            jnp.asarray(rc.astype(np.float32)))
+
+
+_DESC_OX, _DESC_OY, _DESC_RC = _static_desc_bins()
+
+
+def _orientation_from_samples(gx, gy, offs):
+    """Dominant orientation from (K, P) gradient samples."""
     mag = jnp.sqrt(gx * gx + gy * gy)
-    ori = jnp.arctan2(gy, gx)  # [-pi, pi]
-    r2 = jnp.sum(offs ** 2, axis=1)  # scale-unit radius^2
+    ori = jnp.arctan2(gy, gx)
+    r2 = jnp.sum(offs ** 2, axis=1)
     wgt = jnp.exp(-r2 / (2.0 * ORI_SIG_FCTR ** 2))[None, :]
-    # histogram via one-hot einsum
-    bin_f = (ori / (2 * jnp.pi) + 0.5) * ORI_BINS  # [0, 36)
+    bin_f = (ori / (2 * jnp.pi) + 0.5) * ORI_BINS
     b0 = jnp.floor(bin_f).astype(jnp.int32) % ORI_BINS
     frac = bin_f - jnp.floor(bin_f)
     w_all = mag * wgt
@@ -205,76 +240,36 @@ def _orientation(dxs: jnp.ndarray, dys: jnp.ndarray,
     oh1 = jax.nn.one_hot((b0 + 1) % ORI_BINS, ORI_BINS, dtype=w_all.dtype)
     hist = jnp.einsum("kp,kpb->kb", w_all * (1 - frac), oh0) + \
            jnp.einsum("kp,kpb->kb", w_all * frac, oh1)
-    # circular [1,4,6,4,1]/16 smoothing, twice (approximates cv2's smoothing)
+
     def smooth(hh):
         return (6 * hh + 4 * (jnp.roll(hh, 1, -1) + jnp.roll(hh, -1, -1))
                 + (jnp.roll(hh, 2, -1) + jnp.roll(hh, -2, -1))) / 16.0
+
     hist = smooth(smooth(hist))
-    # parabolic peak interpolation around argmax
     pk = jnp.argmax(hist, axis=1)
-    k_idx = jnp.arange(hist.shape[0])
-    hl = hist[k_idx, (pk - 1) % ORI_BINS]
-    hc = hist[k_idx, pk]
-    hr = hist[k_idx, (pk + 1) % ORI_BINS]
+    kidx = jnp.arange(hist.shape[0])
+    hl = hist[kidx, (pk - 1) % ORI_BINS]
+    hc = hist[kidx, pk]
+    hr = hist[kidx, (pk + 1) % ORI_BINS]
     denom = hl - 2 * hc + hr
-    dbin = jnp.where(jnp.abs(denom) > 1e-12,
-                     0.5 * (hl - hr) / jnp.where(jnp.abs(denom) > 1e-12,
-                                                 denom, 1.0), 0.0)
-    bin_pos = (pk.astype(jnp.float32) + dbin) % ORI_BINS
-    return (bin_pos / ORI_BINS - 0.5) * 2 * jnp.pi
+    safe = jnp.abs(denom) > 1e-12
+    dbin = jnp.where(safe, 0.5 * (hl - hr) / jnp.where(safe, denom, 1.0), 0.0)
+    return (((pk.astype(jnp.float32) + dbin) % ORI_BINS) / ORI_BINS - 0.5) \
+        * 2 * jnp.pi
 
 
-def _descriptor(dxs: jnp.ndarray, dys: jnp.ndarray,
-                xs: jnp.ndarray, ys: jnp.ndarray,
-                scl: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """(K, 128) SIFT descriptors via fixed 16x16 rotated-patch sampling."""
-    P = DESC_SAMPLES
-    offs = _patch_offsets(P)  # (P*P, 2) in [-0.5, 0.5]
-    win = DESC_SCL_FCTR * (DESC_D + 1)  # full window width in scale units
-    ox = offs[:, 0] * win
-    oy = offs[:, 1] * win
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
-    # rotate sample offsets by keypoint angle, scale to pixels
-    px = xs[:, None] + (ca[:, None] * ox[None] - sa[:, None] * oy[None]) * scl[:, None]
-    py = ys[:, None] + (sa[:, None] * ox[None] + ca[:, None] * oy[None]) * scl[:, None]
-    gx = _bilinear_many(dxs, px, py)
-    gy = _bilinear_many(dys, px, py)
+def _descriptor_from_samples(gx, gy, angle):
+    """(K, 128) from (K, 256) rotated-patch gradient samples."""
     mag = jnp.sqrt(gx * gx + gy * gy)
     ori = jnp.arctan2(gy, gx) - angle[:, None]
-    # bin coordinates: rows/cols in [0, D)
-    rbin = oy[None, :] / DESC_SCL_FCTR + DESC_D / 2 - 0.5  # (1, P*P) -> bcast
-    cbin = ox[None, :] / DESC_SCL_FCTR + DESC_D / 2 - 0.5
-    rbin = jnp.broadcast_to(rbin, mag.shape)
-    cbin = jnp.broadcast_to(cbin, mag.shape)
     obin = (ori / (2 * jnp.pi) % 1.0) * DESC_B
-    wgt = jnp.exp(-(ox ** 2 + oy ** 2)[None, :]
-                  / (2 * (0.5 * DESC_D * DESC_SCL_FCTR) ** 2))
-    w_all = mag * wgt
-
-    def onehot_lin(binf, n, wrap):
-        b0 = jnp.floor(binf)
-        f = binf - b0
-        b0i = b0.astype(jnp.int32)
-        if wrap:
-            i0 = b0i % n
-            i1 = (b0i + 1) % n
-            v0 = jnp.ones_like(f)
-            v1 = jnp.ones_like(f)
-        else:
-            i0 = jnp.clip(b0i, 0, n - 1)
-            i1 = jnp.clip(b0i + 1, 0, n - 1)
-            v0 = ((b0i >= 0) & (b0i < n)).astype(f.dtype)
-            v1 = ((b0i + 1 >= 0) & (b0i + 1 < n)).astype(f.dtype)
-        oh0 = jax.nn.one_hot(i0, n, dtype=f.dtype) * ((1 - f) * v0)[..., None]
-        oh1 = jax.nn.one_hot(i1, n, dtype=f.dtype) * (f * v1)[..., None]
-        return oh0 + oh1  # (K, P*P, n)
-
-    ohr = onehot_lin(rbin, DESC_D, wrap=False)
-    ohc = onehot_lin(cbin, DESC_D, wrap=False)
-    oho = onehot_lin(obin, DESC_B, wrap=True)
-    desc = jnp.einsum("kp,kpr,kpc,kpo->krco", w_all, ohr, ohc, oho)
-    desc = desc.reshape(desc.shape[0], -1)  # (K, 128)
-    # normalize -> clip 0.2 -> renormalize -> scale 512 (cv2 convention)
+    b0 = jnp.floor(obin).astype(jnp.int32) % DESC_B
+    f = obin - jnp.floor(obin)
+    oh0 = jax.nn.one_hot(b0, DESC_B, dtype=mag.dtype)
+    oh1 = jax.nn.one_hot((b0 + 1) % DESC_B, DESC_B, dtype=mag.dtype)
+    t = mag[..., None] * (oh0 * (1 - f)[..., None] + oh1 * f[..., None])
+    # contract samples against the static spatial one-hot: (K,P,8),(P,16)
+    desc = jnp.einsum("kpo,pg->kgo", t, _DESC_RC).reshape(mag.shape[0], -1)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
     desc = jnp.minimum(desc, DESC_MAG_THR)
@@ -294,24 +289,26 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
                                "linear")
     h0, w0 = img.shape
     n_oct = num_octaves(h0, w0)
-    # initial blur to reach SIGMA0 from the assumed INIT_SIGMA
-    sig_diff = math.sqrt(max(SIGMA0 ** 2 - (2 * INIT_SIGMA if upscale else INIT_SIGMA) ** 2, 0.01))
-    base = gaussian_blur(img, sig_diff)
+    sig_diff = math.sqrt(max(SIGMA0 ** 2 -
+                             (2 * INIT_SIGMA if upscale else INIT_SIGMA) ** 2,
+                             0.01))
+    base = gaussian_blur_matmul(img, sig_diff)
 
-    per_oct_cap = max(256, max_features)
+    ori_offs = _patch_offsets(ORI_SAMPLES) * 2.0 * ORI_RADIUS_FCTR
     all_parts = []
     cur = base
     for o in range(n_oct):
         gauss = _gaussian_pyramid(cur)          # (S+3, h, w)
-        dog = gauss[1:] - gauss[:-1]            # (S+2, h, w)
+        sh, hh, wh = gauss.shape[0] - 1, gauss.shape[1], gauss.shape[2]
+        dog = gauss[1:] - gauss[:-1]
         ext = _dog_extrema_mask(dog, contrast_threshold)
-        # per-octave candidate selection (fixed cap) by |dog|
-        score = jnp.where(ext, jnp.abs(dog), -jnp.inf)
-        flat = score.reshape(-1)
-        k_cap = min(per_oct_cap, flat.shape[0])
-        vals, idx = lax.top_k(flat, k_cap)
-        cand_ok = vals > -jnp.inf
-        sh, hh, wh = dog.shape
+
+        cap = max(128, max_features >> o)
+        score = jnp.where(ext, jnp.abs(dog), 0.0).reshape(-1)
+        k_cap = min(cap, score.shape[0])
+        # TPU-native approximate partial top-k for candidate selection
+        vals, idx = lax.approx_max_k(score, k_cap, recall_target=0.95)
+        cand_ok = vals > 0.0
         sel_s = idx // (hh * wh)
         rem = idx % (hh * wh)
         sel_y = rem // wh
@@ -321,123 +318,35 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
             dog, sel_s, sel_y, sel_x, contrast_threshold, edge_threshold)
         keep &= cand_ok
 
-        # octave-relative scale, and per-keypoint gradients from the nearest
-        # gaussian layer. Layer selection must be static -> gather from the
-        # stacked gradient images by rounded layer index.
-        scl_oct = SIGMA0 * jnp.exp2(ls / N_LAYERS)  # pixels, octave-relative
+        scl_oct = SIGMA0 * jnp.exp2(ls / N_LAYERS)
         layer_idx = jnp.clip(jnp.round(ls).astype(jnp.int32), 1, N_LAYERS)
         dx_stack = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
         dy_stack = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
+        dxf = dx_stack.reshape(-1)
+        dyf = dy_stack.reshape(-1)
 
-        # orientation + descriptor: vmap over the (small) set of layers by
-        # computing against every layer is wasteful; instead gather per-
-        # keypoint using one _bilinear_many on an indexed stack.
-        def sample_layer(stack, x, y, li):
-            # advanced indexing (K,) layers with (K, P) coords
-            hq, wq = stack.shape[1:]
-            x = jnp.clip(x, 0.0, wq - 1.001)
-            y = jnp.clip(y, 0.0, hq - 1.001)
-            x0 = jnp.floor(x).astype(jnp.int32)
-            y0 = jnp.floor(y).astype(jnp.int32)
-            fx = x - x0
-            fy = y - y0
-            li_b = li[:, None]
-            v00 = stack[li_b, y0, x0]
-            v01 = stack[li_b, y0, x0 + 1]
-            v10 = stack[li_b, y0 + 1, x0]
-            v11 = stack[li_b, y0 + 1, x0 + 1]
-            return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-                    + fy * ((1 - fx) * v10 + fx * v11))
+        # orientation
+        px = xs[:, None] + ori_offs[None, :, 0] * scl_oct[:, None]
+        py = ys[:, None] + ori_offs[None, :, 1] * scl_oct[:, None]
+        gx = _sample_stack(dxf, hh, wh, layer_idx, px, py)
+        gy = _sample_stack(dyf, hh, wh, layer_idx, px, py)
+        angle = _orientation_from_samples(gx, gy, ori_offs)
 
-        # orientation on indexed layers
-        P = ORI_SAMPLES
-        offs = _patch_offsets(P) * 2.0 * ORI_RADIUS_FCTR
-        px = xs[:, None] + offs[None, :, 0] * scl_oct[:, None]
-        py = ys[:, None] + offs[None, :, 1] * scl_oct[:, None]
-        gx = sample_layer(dx_stack, px, py, layer_idx)
-        gy = sample_layer(dy_stack, px, py, layer_idx)
-        mag = jnp.sqrt(gx * gx + gy * gy)
-        orid = jnp.arctan2(gy, gx)
-        r2 = jnp.sum(offs ** 2, axis=1)
-        wgt = jnp.exp(-r2 / (2.0 * ORI_SIG_FCTR ** 2))[None, :]
-        bin_f = (orid / (2 * jnp.pi) + 0.5) * ORI_BINS
-        b0 = jnp.floor(bin_f).astype(jnp.int32) % ORI_BINS
-        frac = bin_f - jnp.floor(bin_f)
-        w_all = mag * wgt
-        oh0 = jax.nn.one_hot(b0, ORI_BINS, dtype=w_all.dtype)
-        oh1 = jax.nn.one_hot((b0 + 1) % ORI_BINS, ORI_BINS, dtype=w_all.dtype)
-        hist = jnp.einsum("kp,kpb->kb", w_all * (1 - frac), oh0) + \
-               jnp.einsum("kp,kpb->kb", w_all * frac, oh1)
-        def smooth(hh_):
-            return (6 * hh_ + 4 * (jnp.roll(hh_, 1, -1) + jnp.roll(hh_, -1, -1))
-                    + (jnp.roll(hh_, 2, -1) + jnp.roll(hh_, -2, -1))) / 16.0
-        hist = smooth(smooth(hist))
-        pk = jnp.argmax(hist, axis=1)
-        kidx = jnp.arange(hist.shape[0])
-        hl = hist[kidx, (pk - 1) % ORI_BINS]
-        hc = hist[kidx, pk]
-        hr = hist[kidx, (pk + 1) % ORI_BINS]
-        denom = hl - 2 * hc + hr
-        safe = jnp.abs(denom) > 1e-12
-        dbin = jnp.where(safe, 0.5 * (hl - hr) / jnp.where(safe, denom, 1.0), 0.0)
-        angle = (((pk.astype(jnp.float32) + dbin) % ORI_BINS) / ORI_BINS - 0.5) \
-            * 2 * jnp.pi
-
-        # descriptor on indexed layers
-        Pd = DESC_SAMPLES
-        offs_d = _patch_offsets(Pd)
-        win = DESC_SCL_FCTR * (DESC_D + 1)
-        ox = offs_d[:, 0] * win
-        oy = offs_d[:, 1] * win
+        # descriptor
         ca, sa = jnp.cos(angle), jnp.sin(angle)
-        pxd = xs[:, None] + (ca[:, None] * ox[None] - sa[:, None] * oy[None]) * scl_oct[:, None]
-        pyd = ys[:, None] + (sa[:, None] * ox[None] + ca[:, None] * oy[None]) * scl_oct[:, None]
-        gxd = sample_layer(dx_stack, pxd, pyd, layer_idx)
-        gyd = sample_layer(dy_stack, pxd, pyd, layer_idx)
-        magd = jnp.sqrt(gxd * gxd + gyd * gyd)
-        orid2 = jnp.arctan2(gyd, gxd) - angle[:, None]
-        rbin = jnp.broadcast_to(oy[None, :] / DESC_SCL_FCTR + DESC_D / 2 - 0.5, magd.shape)
-        cbin = jnp.broadcast_to(ox[None, :] / DESC_SCL_FCTR + DESC_D / 2 - 0.5, magd.shape)
-        obin = (orid2 / (2 * jnp.pi) % 1.0) * DESC_B
-        wgt_d = jnp.exp(-(ox ** 2 + oy ** 2)[None, :]
-                        / (2 * (0.5 * DESC_D * DESC_SCL_FCTR) ** 2))
-        w_d = magd * wgt_d
+        pxd = xs[:, None] + (ca[:, None] * _DESC_OX[None]
+                             - sa[:, None] * _DESC_OY[None]) * scl_oct[:, None]
+        pyd = ys[:, None] + (sa[:, None] * _DESC_OX[None]
+                             + ca[:, None] * _DESC_OY[None]) * scl_oct[:, None]
+        gxd = _sample_stack(dxf, hh, wh, layer_idx, pxd, pyd)
+        gyd = _sample_stack(dyf, hh, wh, layer_idx, pxd, pyd)
+        desc = _descriptor_from_samples(gxd, gyd, angle)
 
-        def onehot_lin(binf, n, wrap):
-            b0_ = jnp.floor(binf)
-            f = binf - b0_
-            b0i = b0_.astype(jnp.int32)
-            if wrap:
-                i0, i1 = b0i % n, (b0i + 1) % n
-                v0 = jnp.ones_like(f)
-                v1 = jnp.ones_like(f)
-            else:
-                i0 = jnp.clip(b0i, 0, n - 1)
-                i1 = jnp.clip(b0i + 1, 0, n - 1)
-                v0 = ((b0i >= 0) & (b0i < n)).astype(f.dtype)
-                v1 = ((b0i + 1 >= 0) & (b0i + 1 < n)).astype(f.dtype)
-            oh0_ = jax.nn.one_hot(i0, n, dtype=f.dtype) * ((1 - f) * v0)[..., None]
-            oh1_ = jax.nn.one_hot(i1, n, dtype=f.dtype) * (f * v1)[..., None]
-            return oh0_ + oh1_
-
-        ohr = onehot_lin(rbin, DESC_D, wrap=False)
-        ohc = onehot_lin(cbin, DESC_D, wrap=False)
-        oho = onehot_lin(obin, DESC_B, wrap=True)
-        desc = jnp.einsum("kp,kpr,kpc,kpo->krco", w_d, ohr, ohc, oho)
-        desc = desc.reshape(desc.shape[0], -1)
-        norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
-        desc = desc / jnp.maximum(norm, 1e-12)
-        desc = jnp.minimum(desc, DESC_MAG_THR)
-        norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
-        desc = 512.0 * desc / jnp.maximum(norm, 1e-12)
-
-        # map back to input-image coordinates
         factor = (2.0 ** o) * (0.5 if upscale else 1.0)
-        size = scl_oct * factor * 2.0
         all_parts.append(dict(
             xy=jnp.stack([xs * factor, ys * factor], axis=1),
             response=jnp.abs(contrast),
-            scale=size,
+            scale=scl_oct * factor * 2.0,
             angle=angle,
             desc=desc,
             mask=keep,
@@ -447,7 +356,6 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
 
     merged = {k: jnp.concatenate([p[k] for p in all_parts], axis=0)
               for k in all_parts[0]}
-    # global top-K by response among valid
     score = jnp.where(merged["mask"], merged["response"], -jnp.inf)
     _, order = lax.top_k(score, max_features)
     out = {k: v[order] for k, v in merged.items()}
@@ -472,20 +380,48 @@ def detect_sift_features(img: jnp.ndarray, max_features: int = 2048,
                     image_shape=tuple(img.shape))
 
 
+def _bilinear_many(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Bilinear sample of a (H, W) image at arbitrary-shaped x, y arrays
+    (linearized 1-D gathers)."""
+    h, w = img.shape
+    flat = img.reshape(-1)
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    i00 = y0 * w + x0
+    v00 = jnp.take(flat, i00, axis=0)
+    v01 = jnp.take(flat, i00 + 1, axis=0)
+    v10 = jnp.take(flat, i00 + w, axis=0)
+    v11 = jnp.take(flat, i00 + w + 1, axis=0)
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
 @functools.partial(jax.jit)
 def describe_at_points(img: jnp.ndarray, xy: jnp.ndarray,
                        mask: jnp.ndarray, patch_scale: float = 2.0):
-    """SIFT descriptors + orientations at given points at a fixed scale.
-
-    Used by corner detectors (Harris/GFTT) which have no intrinsic scale —
-    the reference pairs them with SIFT descriptors the same way
-    (traditional_detectors.py:166-287).
-    Returns (desc (K, 128), angle (K,)).
-    """
-    blur = gaussian_blur(img, SIGMA0)
+    """SIFT descriptors + orientations at given points at a fixed scale
+    (used by Harris/GFTT, reference traditional_detectors.py:166-287).
+    Returns (desc (K, 128), angle (K,))."""
+    blur = gaussian_blur_matmul(img, SIGMA0)
     dx = 0.5 * (jnp.roll(blur, -1, axis=1) - jnp.roll(blur, 1, axis=1))
     dy = 0.5 * (jnp.roll(blur, -1, axis=0) - jnp.roll(blur, 1, axis=0))
     scl = jnp.full((xy.shape[0],), patch_scale, jnp.float32)
-    angle = _orientation(dx, dy, xy[:, 0], xy[:, 1], scl)
-    desc = _descriptor(dx, dy, xy[:, 0], xy[:, 1], scl, angle)
+    ori_offs = _patch_offsets(ORI_SAMPLES) * 2.0 * ORI_RADIUS_FCTR
+    px = xy[:, 0:1] + ori_offs[None, :, 0] * scl[:, None]
+    py = xy[:, 1:2] + ori_offs[None, :, 1] * scl[:, None]
+    gx = _bilinear_many(dx, px, py)
+    gy = _bilinear_many(dy, px, py)
+    angle = _orientation_from_samples(gx, gy, ori_offs)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    pxd = xy[:, 0:1] + (ca[:, None] * _DESC_OX[None]
+                        - sa[:, None] * _DESC_OY[None]) * scl[:, None]
+    pyd = xy[:, 1:2] + (sa[:, None] * _DESC_OX[None]
+                        + ca[:, None] * _DESC_OY[None]) * scl[:, None]
+    gxd = _bilinear_many(dx, pxd, pyd)
+    gyd = _bilinear_many(dy, pxd, pyd)
+    desc = _descriptor_from_samples(gxd, gyd, angle)
     return desc * mask[:, None], jnp.where(mask, angle, 0.0)
