@@ -1,0 +1,283 @@
+"""Unified benchmark runner: performance + accuracy tasks, combined
+ranking, JSON export, table printer.
+
+Rebuild of the reference UnifiedBenchmarkPipeline
+(benchmark_pipeline.py:36-1052): PERFORMANCE task (whole detect+match
+pipeline timing per method, per-method init once, n-run statistics +
+memory, :222-485), ACCURACY task (synthetic perspective/affine/rotation/
+scale GT transforms, GT-verified quality, :499-717), combined ranking
+(:843-889), schema-compatible JSON save (:891-906), table printer
+(:908-969), and the quick_* helpers (:976-1044).
+
+Memory profiling uses tracemalloc + psutil RSS like the reference
+(benchmarking.py:697-742) plus jax device memory stats where the backend
+exposes them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+import tracemalloc
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpu3drec.bench.metrics import AdvancedQualityMetrics
+from tpu3drec.bench.stats import StatisticalAnalyzer, describe
+from tpu3drec.bench.synthetic import SyntheticImageGenerator, create_transform_pair
+
+
+@dataclasses.dataclass
+class UnifiedBenchmarkConfig:
+    """benchmark_pipeline.py:43-87."""
+    methods: Sequence[str] = ("SIFT", "ORB")
+    max_features: int = 2000
+    num_runs: int = 5
+    image_size: Tuple[int, int] = (480, 640)   # (H, W)
+    transform_types: Sequence[str] = ("perspective", "affine",
+                                      "rotation", "scale")
+    transform_magnitude: float = 0.3
+    ratio_threshold: float = 0.75
+    ransac_threshold: float = 4.0
+    measure_memory: bool = True
+    seed: int = 42
+
+
+def _device_memory_stats() -> Dict:
+    try:
+        import jax
+        d = jax.devices()[0]
+        s = d.memory_stats()
+        if s:
+            return {"device_bytes_in_use": int(s.get("bytes_in_use", 0)),
+                    "device_peak_bytes": int(s.get("peak_bytes_in_use", 0))}
+    except Exception:
+        pass
+    return {}
+
+
+class PerformanceTask:
+    """benchmark_pipeline.py:222-485: timing + memory per method."""
+
+    def __init__(self, config: UnifiedBenchmarkConfig):
+        self.config = config
+
+    def run(self, image_pairs: Sequence[Tuple[np.ndarray, np.ndarray]]
+            ) -> Dict[str, Dict]:
+        from tpu3drec.api import match_images
+        results: Dict[str, Dict] = {}
+        for method in self.config.methods:
+            runs: List[Dict] = []
+            try:
+                # init/compile once outside the timed runs (:285-311)
+                match_images(image_pairs[0][0], image_pairs[0][1],
+                             method=method,
+                             max_features=self.config.max_features,
+                             ratio=self.config.ratio_threshold)
+            except Exception as e:
+                results[method] = {"error": str(e)}
+                continue
+            for run in range(self.config.num_runs):
+                img1, img2 = image_pairs[run % len(image_pairs)]
+                if self.config.measure_memory:
+                    tracemalloc.start()
+                t0 = time.perf_counter()
+                r = match_images(img1, img2, method=method,
+                                 max_features=self.config.max_features,
+                                 ratio=self.config.ratio_threshold,
+                                 ransac_threshold=self.config.ransac_threshold)
+                dt = time.perf_counter() - t0
+                mem = {}
+                if self.config.measure_memory:
+                    cur, peak = tracemalloc.get_traced_memory()
+                    tracemalloc.stop()
+                    mem = {"traced_peak_mb": peak / 1e6}
+                    try:
+                        import psutil
+                        mem["rss_mb"] = psutil.Process().memory_info().rss / 1e6
+                    except Exception:
+                        pass
+                    mem.update(_device_memory_stats())
+                runs.append({
+                    "pipeline_time": dt,
+                    "num_matches": r.num_matches,
+                    "num_raw_matches": r.num_raw_matches,
+                    "detection_time": r.detection_time,
+                    "matching_time": r.matching_time,
+                    "memory": mem,
+                })
+            times = [r["pipeline_time"] for r in runs]
+            matches = [r["num_matches"] for r in runs]
+            results[method] = {
+                "raw_runs": runs,
+                "avg_pipeline_time": float(np.mean(times)),
+                "fps": float(1.0 / max(np.mean(times), 1e-9)),
+                "avg_matches": float(np.mean(matches)),
+                "matches_per_second": float(
+                    np.mean(matches) / max(np.mean(times), 1e-9)),
+                "time_stats": describe(times),
+            }
+        return results
+
+
+class AccuracyTask:
+    """benchmark_pipeline.py:499-717: GT-transform accuracy."""
+
+    def __init__(self, config: UnifiedBenchmarkConfig):
+        self.config = config
+
+    def run(self, base_images: Sequence[np.ndarray]) -> Dict[str, Dict]:
+        from tpu3drec.api import match_images
+        results: Dict[str, Dict] = {}
+        for method in self.config.methods:
+            per_transform: Dict[str, List[float]] = {}
+            all_quality: List[float] = []
+            all_matches: List[int] = []
+            try:
+                for ti, ttype in enumerate(self.config.transform_types):
+                    for bi, base in enumerate(base_images):
+                        warped, H_gt = create_transform_pair(
+                            base, ttype, self.config.transform_magnitude,
+                            seed=self.config.seed + 31 * ti + bi)
+                        r = match_images(
+                            base, warped, method=method,
+                            max_features=self.config.max_features,
+                            ratio=self.config.ratio_threshold)
+                        m = r.best_matches.to_numpy()
+                        p1 = np.asarray(r.features1.xy)[m["idx1"]]
+                        p2 = np.asarray(r.features2.xy)[m["idx2"]]
+                        q = AdvancedQualityMetrics.comprehensive_quality_assessment(
+                            p1, p2, r.homography, H_gt, base.shape)
+                        per_transform.setdefault(ttype, []).append(
+                            q["overall_quality"])
+                        all_quality.append(q["overall_quality"])
+                        all_matches.append(len(p1))
+            except Exception as e:
+                results[method] = {"error": str(e)}
+                continue
+            results[method] = {
+                "avg_quality": float(np.mean(all_quality)) if all_quality else 0.0,
+                "avg_matches": float(np.mean(all_matches)) if all_matches else 0.0,
+                "per_transform": {t: float(np.mean(v))
+                                  for t, v in per_transform.items()},
+            }
+        return results
+
+
+class UnifiedBenchmarkPipeline:
+    """benchmark_pipeline.py:764-969."""
+
+    def __init__(self, config: Optional[UnifiedBenchmarkConfig] = None):
+        self.config = config or UnifiedBenchmarkConfig()
+
+    # -- entry points (:775-800) ---------------------------------------
+
+    def benchmark_synthetic(self, n_images: int = 3) -> Dict:
+        h, w = self.config.image_size
+        gen = SyntheticImageGenerator(width=w, height=h,
+                                      seed=self.config.seed)
+        bases = [gen.generate(seed=self.config.seed + i)
+                 for i in range(n_images)]
+        pairs = [(bases[i],
+                  create_transform_pair(bases[i], "perspective", 0.2,
+                                        seed=i)[0])
+                 for i in range(n_images)]
+        return self._run(pairs, bases)
+
+    def benchmark_folder(self, folder, max_images: int = 10) -> Dict:
+        from tpu3drec.io.images import FolderImageSource
+        src = FolderImageSource(folder, resize_to=self.config.image_size,
+                                max_images=max_images)
+        names = src.names()
+        imgs = [src.load(n) for n in names]
+        pairs = [(imgs[i], imgs[i + 1]) for i in range(len(imgs) - 1)]
+        return self._run(pairs, imgs[:3])
+
+    def benchmark_single_pair(self, img1, img2) -> Dict:
+        return self._run([(img1, img2)], [np.asarray(img1)])
+
+    # -- core (:802-906) --------------------------------------------------
+
+    def _run(self, pairs, bases) -> Dict:
+        t0 = time.time()
+        perf = PerformanceTask(self.config).run(pairs)
+        acc = AccuracyTask(self.config).run(bases)
+        analysis = self._combined_analysis(perf, acc)
+        return {
+            "timestamp": t0,
+            "config": dataclasses.asdict(self.config),
+            "benchmarks": {
+                "performance": {"summary": perf},
+                "accuracy": {"summary": acc},
+            },
+            "analysis": analysis,
+        }
+
+    def _combined_analysis(self, perf: Dict, acc: Dict) -> Dict:
+        """Combined perf+accuracy ranking (:843-889): rank = mean of the
+        normalized FPS rank and quality rank."""
+        methods = [m for m in perf if "error" not in perf[m]]
+        if not methods:
+            return {"ranking": []}
+        fps = {m: perf[m]["fps"] for m in methods}
+        qual = {m: acc.get(m, {}).get("avg_quality", 0.0) for m in methods}
+        max_fps = max(fps.values()) or 1.0
+        max_q = max(qual.values()) or 1.0
+        combined = {m: 0.5 * fps[m] / max_fps + 0.5 * qual[m] / max_q
+                    for m in methods}
+        ranking = sorted(combined.items(), key=lambda kv: -kv[1])
+        # pairwise significance on pipeline times
+        comparisons = {}
+        for i, a in enumerate(methods):
+            for b in methods[i + 1:]:
+                ta = [r["pipeline_time"] for r in perf[a]["raw_runs"]]
+                tb = [r["pipeline_time"] for r in perf[b]["raw_runs"]]
+                comparisons[f"{a}_vs_{b}"] = \
+                    StatisticalAnalyzer.compare_methods(ta, tb)
+        return {"ranking": ranking, "combined_scores": combined,
+                "statistical_comparisons": comparisons}
+
+    # -- output (:891-969) -----------------------------------------------
+
+    def save_results(self, results: Dict, output_dir=".") -> Path:
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"benchmark_results_{int(results['timestamp'])}.json"
+        path.write_text(json.dumps(results, indent=2, default=str))
+        return path
+
+    @staticmethod
+    def print_table(results: Dict) -> str:
+        perf = results["benchmarks"]["performance"]["summary"]
+        acc = results["benchmarks"]["accuracy"]["summary"]
+        lines = [f"{'method':<12} {'time(s)':>9} {'FPS':>8} "
+                 f"{'matches':>8} {'quality':>8}"]
+        lines.append("-" * 50)
+        for m, p in perf.items():
+            if "error" in p:
+                lines.append(f"{m:<12} ERROR: {p['error'][:40]}")
+                continue
+            q = acc.get(m, {}).get("avg_quality", float("nan"))
+            lines.append(f"{m:<12} {p['avg_pipeline_time']:>9.3f} "
+                         f"{p['fps']:>8.2f} {p['avg_matches']:>8.0f} "
+                         f"{q:>8.3f}")
+        table = "\n".join(lines)
+        print(table)
+        return table
+
+
+def quick_synthetic_benchmark(methods=("SIFT", "ORB"), num_runs: int = 3,
+                              image_size=(240, 320), **kw) -> Dict:
+    """benchmark_pipeline.py:976-1010."""
+    cfg = UnifiedBenchmarkConfig(methods=methods, num_runs=num_runs,
+                                 image_size=image_size, **kw)
+    return UnifiedBenchmarkPipeline(cfg).benchmark_synthetic()
+
+
+def quick_folder_benchmark(folder, methods=("SIFT", "ORB"),
+                           num_runs: int = 3, **kw) -> Dict:
+    cfg = UnifiedBenchmarkConfig(methods=methods, num_runs=num_runs, **kw)
+    return UnifiedBenchmarkPipeline(cfg).benchmark_folder(folder)
