@@ -1,0 +1,130 @@
+"""Deep stack tests (random init — pretrained weights unavailable in this
+environment): SuperPoint shapes/NMS/top-K semantics, LightGlue assignment
+properties, registry integration (reference deep_learning_detectors.py,
+feature_matchers.py:255-549)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu3drec.core.types import Features, ScoreType
+from tpu3drec.models.superpoint import SuperPoint, SuperPointNet, load_torch_weights
+from tpu3drec.models.lightglue import LightGlue, rotary_embed_2d, apply_rotary
+from tpu3drec.core.registry import MatcherCompatibilityManager, MatcherFactory
+
+
+def test_superpoint_shapes_and_extract():
+    sp = SuperPoint(max_features=256, keypoint_threshold=0.0)
+    sp.init_random((120, 160), seed=0)
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (120, 160))
+                      .astype(np.float32))
+    f = sp.extract(img)
+    assert f.capacity == 256
+    assert f.desc.shape == (256, 256)
+    assert f.method == "SuperPoint"
+    # descriptors at valid rows are unit-norm
+    m = np.asarray(f.mask)
+    if m.any():
+        norms = np.linalg.norm(np.asarray(f.desc)[m], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    xy = np.asarray(f.xy)[m]
+    assert xy[:, 0].max() < 160 and xy[:, 1].max() < 120
+
+
+def test_superpoint_weight_conversion_shapes():
+    """Converting a synthetic torch-style state dict produces params the
+    flax module accepts."""
+    rng = np.random.default_rng(0)
+    chans = {"conv1a": (64, 1), "conv1b": (64, 64), "conv2a": (64, 64),
+             "conv2b": (64, 64), "conv3a": (128, 64), "conv3b": (128, 128),
+             "conv4a": (128, 128), "conv4b": (128, 128),
+             "convPa": (256, 128), "convDa": (256, 128)}
+    sd = {}
+    for name, (o, i) in chans.items():
+        k = 3
+        sd[f"{name}.weight"] = rng.normal(size=(o, i, k, k)).astype(np.float32)
+        sd[f"{name}.bias"] = np.zeros(o, np.float32)
+    sd["convPb.weight"] = rng.normal(size=(65, 256, 1, 1)).astype(np.float32)
+    sd["convPb.bias"] = np.zeros(65, np.float32)
+    sd["convDb.weight"] = rng.normal(size=(256, 256, 1, 1)).astype(np.float32)
+    sd["convDb.bias"] = np.zeros(256, np.float32)
+    params = load_torch_weights(sd)
+    heat, desc = SuperPointNet().apply(
+        params, jnp.zeros((1, 64, 64, 1)))
+    assert heat.shape == (1, 64, 64)
+    assert desc.shape == (1, 8, 8, 256)
+
+
+def test_rotary_embedding_preserves_norm():
+    xy = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (10, 2))
+                     .astype(np.float32))
+    ang = rotary_embed_2d(xy, 64)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(10, 64))
+                    .astype(np.float32))
+    rot = apply_rotary(x, ang)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(rot), axis=1),
+                               np.linalg.norm(np.asarray(x), axis=1),
+                               rtol=1e-4)
+
+
+def make_feats(n, d=64, seed=0, shape=(120, 160)):
+    rng = np.random.default_rng(seed)
+    return Features.from_numpy(
+        rng.uniform(0, 150, (n, 2)),
+        rng.normal(size=(n, d)), capacity=n,
+        image_shape=shape, method="SuperPoint")
+
+
+def test_lightglue_assignment_properties():
+    lg = LightGlue(dim=64, n_layers=2, input_dim=64)
+    lg.init_random(n=16)
+    f0 = make_feats(32, seed=0)
+    f1 = make_feats(40, seed=1)
+    m = lg.match(f0, f1, filter_threshold=0.0)
+    assert m.score_type == ScoreType.CONFIDENCE.value
+    got = m.to_numpy()
+    # mutual-argmax property: no duplicate targets among accepted matches
+    assert len(got["idx2"]) == len(set(got["idx2"].tolist()))
+    assert np.all(got["score"] >= 0) and np.all(got["score"] <= 1.0 + 1e-5)
+
+
+def test_lightglue_identical_descriptors_match_identity():
+    """With shared projections, matching a feature set against itself must
+    recover the identity assignment even at random init."""
+    lg = LightGlue(dim=64, n_layers=2, input_dim=64)
+    lg.init_random(n=16, seed=3)
+    f0 = make_feats(24, seed=5)
+    m = lg.match(f0, f0, filter_threshold=0.0)
+    got = m.to_numpy()
+    frac_identity = (got["idx1"] == got["idx2"]).mean() if len(got["idx1"]) else 0
+    assert frac_identity > 0.9
+
+
+def test_compat_manager():
+    mgr = MatcherCompatibilityManager()
+    assert mgr.is_compatible("SIFT", "flann")
+    assert mgr.is_compatible("ORB", "bf")
+    assert not mgr.is_compatible("SIFT", "lightglue")
+    assert mgr.get_recommended_matcher("SuperPoint") == "lightglue"
+    assert mgr.descriptor_info("ORB") == {"type": "binary", "size": 256}
+    assert mgr.validate_configuration("SIFT", "lightglue")
+    assert mgr.validate_configuration("SIFT", "flann") == []
+    matrix = mgr.print_compatibility_matrix()
+    assert "SIFT" in matrix
+
+
+def test_matcher_factory_resolution_and_matching():
+    fac = MatcherFactory()
+    # explicit beats recommended
+    fn = fac.create_matcher("SIFT", "bf")
+    f1 = make_feats(16, seed=0)
+    f2 = make_feats(16, seed=0)
+    m = fn(f1, f2)
+    assert len(m) == 16  # identical features all match at ratio<1? ratio test
+    # invalid pairing raises
+    with pytest.raises(ValueError):
+        fac.create_matcher("SIFT", "lightglue")
+    # recommended fallback
+    fn2 = fac.create_matcher("ORB")
+    assert callable(fn2)
