@@ -1,0 +1,154 @@
+"""Visualization: keypoint and match plotting, method comparisons.
+
+Rebuild of the reference visualization layer
+(FeatureMatchingExtraction/visualization.py:19-456 and the
+VisualizationData plotting of result_converters.py:117-189) on matplotlib:
+side-by-side match rendering with score-colored lines, keypoint overlays,
+multi-method comparison grids, and figure export. All functions take this
+framework's Features/Matches/MethodResult containers.
+
+Matplotlib uses the Agg backend (headless); nothing here touches the
+compute path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib import cm  # noqa: E402
+
+
+def _to_img(image) -> np.ndarray:
+    img = np.asarray(image)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    return np.clip(img, 0, 1)
+
+
+def _side_by_side(img1: np.ndarray, img2: np.ndarray):
+    h = max(img1.shape[0], img2.shape[0])
+    w1, w2 = img1.shape[1], img2.shape[1]
+    canvas = np.zeros((h, w1 + w2), np.float32)
+    canvas[:img1.shape[0], :w1] = img1
+    canvas[:img2.shape[0], w1:] = img2
+    return canvas, w1
+
+
+def visualize_matches(image1, image2, result, use_filtered: bool = True,
+                      max_draw: int = 200, ax=None, title: Optional[str] = None):
+    """Side-by-side match lines colored by match quality
+    (visualization.py:210-335, result_converters.py:117-189)."""
+    img1, img2 = _to_img(image1), _to_img(image2)
+    canvas, off = _side_by_side(img1, img2)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(12, 6))
+    ax.imshow(canvas, cmap="gray")
+    m = result.best_matches if use_filtered else result.matches
+    got = m.to_numpy()
+    xy1 = np.asarray(result.features1.xy)
+    xy2 = np.asarray(result.features2.xy)
+    q = np.asarray(m.quality())[np.asarray(m.mask)]
+    order = np.argsort(-q)[:max_draw]
+    colors = cm.viridis(q[order] / max(q.max(), 1e-9)) if len(q) else []
+    for rank, i in enumerate(order):
+        p1 = xy1[got["idx1"][i]]
+        p2 = xy2[got["idx2"][i]]
+        ax.plot([p1[0], p2[0] + off], [p1[1], p2[1]],
+                color=colors[rank], linewidth=0.6, alpha=0.8)
+    ax.set_title(title or f"{result.method}: {len(got['idx1'])} matches")
+    ax.axis("off")
+    return ax
+
+
+def visualize_keypoints_only(image, features, max_draw: int = 1000,
+                             ax=None, title: Optional[str] = None):
+    """Keypoint overlay sized by scale, colored by response
+    (visualization.py:406-456)."""
+    img = _to_img(image)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(img, cmap="gray")
+    d = features.to_numpy()
+    n = min(len(d["xy"]), max_draw)
+    if n:
+        resp = d["response"][:n]
+        ax.scatter(d["xy"][:n, 0], d["xy"][:n, 1],
+                   s=np.clip(d["scale"][:n], 2, 40),
+                   c=resp, cmap="plasma", alpha=0.7, linewidths=0)
+    ax.set_title(title or f"{features.method}: {len(d['xy'])} keypoints")
+    ax.axis("off")
+    return ax
+
+
+def plot_method_comparison(image1, image2, matching_result,
+                           use_filtered: bool = True):
+    """Grid of per-method match plots + quality bars
+    (visualization.py:122-208)."""
+    methods = list(matching_result.keys())
+    n = len(methods)
+    fig, axes = plt.subplots(n + 1, 1, figsize=(12, 5 * (n + 1)))
+    if n == 0:
+        return fig
+    axes = np.atleast_1d(axes)
+    for ax, m in zip(axes[:-1], methods):
+        visualize_matches(image1, image2, matching_result[m],
+                          use_filtered=use_filtered, ax=ax)
+    names, scores = zip(*[(m, matching_result[m].get_quality_score())
+                          for m in methods])
+    axes[-1].bar(names, scores, color="tab:blue")
+    axes[-1].set_ylabel("quality score")
+    axes[-1].set_title("method comparison "
+                       f"(best: {matching_result.get_best_method_name()})")
+    fig.tight_layout()
+    return fig
+
+
+def save_visualization(fig_or_ax, path, dpi: int = 120) -> Path:
+    """visualization.py:337-404."""
+    fig = fig_or_ax.figure if hasattr(fig_or_ax, "figure") else fig_or_ax
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def visualize_matches_quick(image1, image2, method: str = "SIFT",
+                            save_to=None, **kw):
+    """One-call detect+match+plot (visualization.py:210-246)."""
+    from tpu3drec.api import match_images
+    r = match_images(image1, image2, method=method, **kw)
+    ax = visualize_matches(image1, image2, r)
+    if save_to:
+        return save_visualization(ax, save_to)
+    return ax
+
+
+def plot_reconstruction_3d(recon, max_points: int = 5000, save_to=None):
+    """3-D scatter of the sparse cloud + camera frusta (the SfM-stage
+    analogue of the reference's matplotlib cloud views,
+    point_cloud_processing.py:378-481)."""
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    pts = recon.points_array()
+    if len(pts) > max_points:
+        idx = np.random.default_rng(0).permutation(len(pts))[:max_points]
+        pts = pts[idx]
+    if len(pts):
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=1, c=pts[:, 2],
+                   cmap="viridis", alpha=0.5)
+    for cam in recon.cameras.values():
+        c = cam.center
+        z = cam.R.T @ np.array([0, 0, 1.0])
+        ax.quiver(c[0], c[1], c[2], z[0], z[1], z[2], length=0.5,
+                  color="red")
+    ax.set_title(f"{recon.num_cameras} cameras, {recon.num_points} points")
+    if save_to:
+        return save_visualization(fig, save_to)
+    return fig
