@@ -1,0 +1,191 @@
+"""Correspondence management facade: 2D-3D mining, pre-triangulation,
+image selection, failure diagnostics.
+
+Rebuild of the reference CorrespondenceManager machinery
+(CameraPoseEstimation/correspondence_manager.py): match lookup tolerant to
+pair-key orderings (:49-126), `PreTriangulator` DLT against all existing
+cameras (:148-373), `CorrespondenceFinder` 2D-3D mining with a tolerance
+fallback ladder (:375-555), `ImageSelector` scoring (:557-653), failure
+diagnostics (:655-718), and the facade (:720-905). The device math is
+delegated to ops/triangulate and the SfM pipeline's mining kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class CorrespondenceConfig:
+    """correspondence_manager.py:21-47."""
+    base_tolerance_px: float = 2.0
+    tolerance_ladder: Tuple[float, ...] = (2.0, 4.0, 8.0)
+    min_correspondences: int = 15
+    min_matches_for_pair: int = 8
+
+
+def lookup_pair(matches_data: Dict, a: str, b: str) -> Optional[np.ndarray]:
+    """Key-order-tolerant pair lookup (:49-126). Returns Nx4 with columns
+    ordered (a_xy, b_xy), or None."""
+    if (a, b) in matches_data:
+        pd = matches_data[(a, b)]
+        corr = np.asarray(pd.get("correspondences", []), np.float64)
+        return corr if len(corr) else None
+    if (b, a) in matches_data:
+        pd = matches_data[(b, a)]
+        corr = np.asarray(pd.get("correspondences", []), np.float64)
+        if len(corr) == 0:
+            return None
+        return np.concatenate([corr[:, 2:], corr[:, :2]], axis=1)
+    return None
+
+
+class CorrespondenceFinder:
+    """2D-3D mining with tolerance ladder (:375-555)."""
+
+    def __init__(self, config: Optional[CorrespondenceConfig] = None):
+        self.config = config or CorrespondenceConfig()
+
+    def find_2d3d(self, recon, new_image: str, matches_data: Dict
+                  ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+        """Returns (uv (N,2), point_ids (N,), diagnostics). Walks the
+        tolerance ladder until min_correspondences are found."""
+        diag = {"attempts": []}
+        for tol in self.config.tolerance_ladder:
+            uv, pids = self._find_at_tolerance(recon, new_image,
+                                               matches_data, tol)
+            diag["attempts"].append({"tolerance_px": tol, "found": len(uv)})
+            if len(uv) >= self.config.min_correspondences:
+                diag["tolerance_used"] = tol
+                return uv, pids, diag
+        diag["tolerance_used"] = None
+        return uv, pids, diag
+
+    def _find_at_tolerance(self, recon, new_image, matches_data, tol):
+        uv_out, pid_out = [], []
+        seen = set()
+        for other in recon.cameras:
+            corr = lookup_pair(matches_data, new_image, other)
+            if corr is None or len(corr) < self.config.min_matches_for_pair:
+                continue
+            new_xy, other_xy = corr[:, :2], corr[:, 2:]
+            obs = recon.observations_of_camera(other)
+            if not obs:
+                continue
+            obs_uv = np.stack([uv for _, uv in obs])
+            obs_pid = np.array([p for p, _ in obs])
+            d = np.linalg.norm(other_xy[:, None] - obs_uv[None], axis=2)
+            j = d.argmin(axis=1)
+            hit = d[np.arange(len(corr)), j] <= tol
+            for i in np.where(hit)[0]:
+                pid = int(obs_pid[j[i]])
+                if pid in seen:
+                    continue
+                seen.add(pid)
+                uv_out.append(new_xy[i])
+                pid_out.append(pid)
+        if not uv_out:
+            return np.zeros((0, 2)), np.zeros(0, int)
+        return np.stack(uv_out), np.asarray(pid_out, int)
+
+
+class PreTriangulator:
+    """Triangulate a new image's leftover matches against all existing
+    cameras before PnP (:148-373)."""
+
+    def triangulate_against_all(self, recon, new_image: str,
+                                R: np.ndarray, t: np.ndarray,
+                                K: np.ndarray, matches_data: Dict,
+                                exclude_pids: Optional[set] = None,
+                                max_reproj_px: float = 2.0) -> List[Dict]:
+        import jax.numpy as jnp
+        from tpu3drec.ops.triangulate import (
+            triangulate_two_view, TriangulationConfig,
+        )
+        out = []
+        for other in recon.cameras:
+            if other == new_image:
+                continue
+            corr = lookup_pair(matches_data, new_image, other)
+            if corr is None or len(corr) < 8:
+                continue
+            cam_o = recon.cameras[other]
+            tri = triangulate_two_view(
+                jnp.asarray(corr[:, :2].astype(np.float32)),
+                jnp.asarray(corr[:, 2:].astype(np.float32)),
+                jnp.asarray(K.astype(np.float32)),
+                jnp.asarray(cam_o.K.astype(np.float32)),
+                jnp.asarray(R.astype(np.float32)),
+                jnp.asarray(t.astype(np.float32)),
+                jnp.asarray(cam_o.R.astype(np.float32)),
+                jnp.asarray(cam_o.t.astype(np.float32)),
+                config=TriangulationConfig(max_reproj_px=max_reproj_px))
+            out.append({"other": other,
+                        "points": np.asarray(tri.points),
+                        "mask": np.asarray(tri.mask),
+                        "uv_new": corr[:, :2], "uv_other": corr[:, 2:]})
+        return out
+
+
+class ImageSelector:
+    """Next-image scoring (:557-653) — delegates to the pair selector's
+    connectivity ranking."""
+
+    def __init__(self, config: Optional[CorrespondenceConfig] = None):
+        self.config = config or CorrespondenceConfig()
+
+    def rank(self, recon, remaining: Sequence[str],
+             matches_data: Dict) -> List[Tuple[str, float]]:
+        from tpu3drec.sfm.pair_selector import InitializationPairSelector
+        sel = InitializationPairSelector()
+        return sel.rank_next_views(list(remaining), list(recon.cameras),
+                                   matches_data)
+
+
+def diagnose_failure(recon, new_image: str, matches_data: Dict,
+                     config: Optional[CorrespondenceConfig] = None) -> Dict:
+    """Why did a view fail to register? (:655-718)."""
+    cfg = config or CorrespondenceConfig()
+    pairs_with_processed = []
+    total_matches = 0
+    for other in recon.cameras:
+        corr = lookup_pair(matches_data, new_image, other)
+        if corr is not None:
+            pairs_with_processed.append((other, len(corr)))
+            total_matches += len(corr)
+    finder = CorrespondenceFinder(cfg)
+    uv, pids, diag = finder.find_2d3d(recon, new_image, matches_data)
+    return {
+        "image": new_image,
+        "connected_processed_views": pairs_with_processed,
+        "total_matches_to_processed": total_matches,
+        "correspondences_found": len(uv),
+        "min_required": cfg.min_correspondences,
+        "tolerance_diagnostics": diag,
+        "verdict": ("ok" if len(uv) >= cfg.min_correspondences else
+                    "insufficient_2d3d" if total_matches > 0 else
+                    "no_connectivity"),
+    }
+
+
+class CorrespondenceManager:
+    """Facade (:720-905)."""
+
+    def __init__(self, config: Optional[CorrespondenceConfig] = None):
+        self.config = config or CorrespondenceConfig()
+        self.finder = CorrespondenceFinder(self.config)
+        self.pre_triangulator = PreTriangulator()
+        self.selector = ImageSelector(self.config)
+
+    def find_correspondences(self, recon, new_image, matches_data):
+        return self.finder.find_2d3d(recon, new_image, matches_data)
+
+    def select_next_image(self, recon, remaining, matches_data):
+        ranked = self.selector.rank(recon, remaining, matches_data)
+        return ranked[0][0] if ranked else None
+
+    def diagnose(self, recon, new_image, matches_data):
+        return diagnose_failure(recon, new_image, matches_data, self.config)
