@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: mesh construction,
+tensor-parallel 2-NN exactness, and the full sharded pair step (the
+framework's replacement for the reference's serial pair loop,
+FME/pipeline.py:538-678)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpu3drec.parallel.mesh import (
+    make_mesh, default_mesh_shape, batch_sharding, DATA_AXIS, MODEL_AXIS,
+)
+from tpu3drec.parallel.pairs import tp_knn2, make_batched_pair_step
+from tpu3drec.ops.match import knn2
+
+
+def test_mesh_shapes():
+    assert default_mesh_shape(8) == (4, 2)
+    assert default_mesh_shape(4) == (2, 2)
+    assert default_mesh_shape(1) == (1, 1)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+
+
+def test_tp_knn2_matches_single_device():
+    """Sharded 2-NN must be EXACT vs the single-device reference."""
+    rng = np.random.default_rng(0)
+    n, m, d = 64, 128, 32
+    d1 = rng.normal(size=(n, d)).astype(np.float32)
+    d2 = rng.normal(size=(m, d)).astype(np.float32)
+    m1 = np.ones(n, bool)
+    m2 = rng.random(m) > 0.1
+
+    ref_idx, ref_dist = knn2(jnp.asarray(d1), jnp.asarray(d2),
+                             jnp.asarray(m1), jnp.asarray(m2))
+
+    mesh = make_mesh(jax.devices()[:2], shape=(1, 2))
+
+    def f(d1_, d2_, m1_, m2_):
+        return tp_knn2(d1_, d2_, m1_, m2_)
+
+    sharded = shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS), P(), P(MODEL_AXIS)),
+        out_specs=(P(), P()), check_rep=False)
+    idx, dist = jax.jit(sharded)(jnp.asarray(d1), jnp.asarray(d2),
+                                 jnp.asarray(m1), jnp.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(ref_dist),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_batched_pair_step_runs_on_mesh():
+    from tpu3drec.ops.sift import detect_and_compute
+    mesh = make_mesh()  # 4x2
+    max_features = 64
+
+    def detect_tuple(img):
+        xy, resp, scale, angle, desc, mask = detect_and_compute(
+            img, max_features=max_features)
+        return xy, resp, desc, mask
+
+    step = make_batched_pair_step(mesh, detect_tuple, num_hypotheses=32)
+
+    rng = np.random.default_rng(1)
+    B, H, W = 8, 48, 48
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        img = np.zeros((H, W), np.float32)
+        for _ in range(15):
+            y, x = r.integers(2, H - 10), r.integers(2, W - 10)
+            img[y:y + r.integers(3, 10), x:x + r.integers(3, 10)] += \
+                r.uniform(-0.5, 0.5)
+        img -= img.min()
+        return img / max(img.max(), 1e-6)
+    imgs1 = jnp.asarray(np.stack([mk(i) for i in range(B)]))
+    imgs2 = imgs1  # identical pairs -> matches guaranteed
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    sh = batch_sharding(mesh)
+    stats = step(jax.device_put(imgs1, sh), jax.device_put(imgs2, sh),
+                 jax.device_put(keys, sh))
+    nm = np.asarray(stats["num_matches"])
+    assert nm.shape == (B,)
+    # identical images self-match every valid keypoint; tiny 48x48 images
+    # yield only a handful of keypoints each
+    assert (nm >= 2).all(), nm
+    total = np.asarray(stats["total_matches"])
+    assert int(total[0]) == int(nm.sum())  # psum'd global count
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert int(out["num_matches"]) >= 0
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
