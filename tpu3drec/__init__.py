@@ -54,6 +54,18 @@ from tpu3drec.api import (
     quick_process_folder,
 )
 
+
+def reconstruct_scene(*args, **kw):
+    """Incremental SfM entry (lazy import; see tpu3drec.sfm)."""
+    from tpu3drec.sfm import reconstruct_scene as _rs
+    return _rs(*args, **kw)
+
+
+def run_dense_reconstruction(*args, **kw):
+    """Dense reconstruction entry (lazy import; see tpu3drec.pipelines.dense)."""
+    from tpu3drec.pipelines.dense import run_dense_reconstruction as _rd
+    return _rd(*args, **kw)
+
 __all__ = [
     "Features",
     "Matches",
@@ -72,4 +84,6 @@ __all__ = [
     "match_images",
     "quick_match",
     "quick_process_folder",
+    "reconstruct_scene",
+    "run_dense_reconstruction",
 ]

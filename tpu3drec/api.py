@@ -44,28 +44,26 @@ def _get_detector_registry():
         "Harris": harris,
         "GoodFeatures": gftt,
     }
-    # graceful degradation for not-yet-available families, mirroring the
-    # reference's import guards (deep_learning_detectors.py:18-25)
-    try:
-        from tpu3drec.ops.orb import detect_orb_features
-        registry["ORB"] = detect_orb_features
-    except ImportError:
-        pass
-    try:
-        from tpu3drec.ops.akaze import detect_akaze_features
-        registry["AKAZE"] = detect_akaze_features
-    except ImportError:
-        pass
-    try:
-        from tpu3drec.ops.brisk import detect_brisk_features
-        registry["BRISK"] = detect_brisk_features
-    except ImportError:
-        pass
-    try:
+    from tpu3drec.ops.orb import detect_orb_features
+    from tpu3drec.ops.akaze import detect_akaze_features
+    from tpu3drec.ops.brisk import detect_brisk_features
+    registry["ORB"] = detect_orb_features
+    registry["AKAZE"] = detect_akaze_features
+    registry["BRISK"] = detect_brisk_features
+
+    # deep detectors register only when converted weights exist on disk —
+    # the analogue of the reference's torch import guards
+    # (deep_learning_detectors.py:18-25) in this zero-egress environment
+    from tpu3drec.models import weights_available
+    if weights_available("superpoint"):
         from tpu3drec.models.superpoint import detect_superpoint_features
         registry["SuperPoint"] = detect_superpoint_features
-    except ImportError:
-        pass
+    if weights_available("disk"):
+        from tpu3drec.models.disk import detect_disk_features
+        registry["DISK"] = detect_disk_features
+    if weights_available("aliked"):
+        from tpu3drec.models.aliked import detect_aliked_features
+        registry["ALIKED"] = detect_aliked_features
     return registry
 
 

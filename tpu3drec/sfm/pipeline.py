@@ -52,6 +52,9 @@ class SfMConfig:
     global_ba_max_iters: int = 30
     optimize_intrinsics: bool = False
     post_ba_max_reproj_px: float = 4.0   # point re-validation (:594-746)
+    # pipeline2 variant: joint E+K iterative refinement in two-view init
+    # (reference pipeline2.py:288-339 wiring IterativeRefinementPipeline)
+    use_iterative_refinement: bool = False
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -156,6 +159,18 @@ class SfMPipeline:
         size2 = self._image_size(name2, image_info, corr[:, 2:])
         K1 = self.intrinsics.estimate(*size1)
         K2 = self.intrinsics.estimate(*size2)
+
+        if self.config.use_iterative_refinement:
+            # pipeline2 path: refine K1/K2 jointly with the two-view
+            # geometry before the main init (pipeline2.py:288-339);
+            # falls back to the heuristic Ks on failure (:300-310)
+            from tpu3drec.sfm.refinement import (
+                iterative_refinement, RefinementConfig,
+            )
+            ref = iterative_refinement(corr[:, :2], corr[:, 2:], K1, K2,
+                                       size1, size2, RefinementConfig())
+            if ref is not None:
+                K1, K2 = ref.K1, ref.K2
 
         n = len(corr)
         cap = _bucket(n)
