@@ -37,6 +37,8 @@ _BIG = 3.4e38
 
 def _match_kernel(d1_ref, d2_ref, m2_ref, out_val_ref, out_idx_ref,
                   best_ref, second_ref, bidx_ref):
+    # all operands/outputs are 2-D: Mosaic rejects 1-D f32 operands whose
+    # XLA tiling (T(1024)) disagrees with its own (T(512))
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     bm = d2_ref.shape[0]
@@ -53,15 +55,15 @@ def _match_kernel(d1_ref, d2_ref, m2_ref, out_val_ref, out_idx_ref,
     # squared distance minus the row-constant |d1|^2 term
     dist = sq2[None, :] - 2.0 * jnp.dot(
         d1, d2.T, preferred_element_type=jnp.float32)   # (BN, BM)
-    valid = m2_ref[:] > 0
+    valid = m2_ref[:, 0] > 0
     dist = jnp.where(valid[None, :], dist, _BIG)
 
-    # block top-2
-    i1 = jnp.argmin(dist, axis=1)                      # (BN,)
-    v1 = jnp.min(dist, axis=1)
+    # block top-2 (keep everything (BN, 1)-shaped)
+    i1 = jnp.argmin(dist, axis=1, keepdims=True)       # (BN, 1)
+    v1 = jnp.min(dist, axis=1, keepdims=True)
     col = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    masked = jnp.where(col == i1[:, None], _BIG, dist)
-    v2 = jnp.min(masked, axis=1)
+    masked = jnp.where(col == i1, _BIG, dist)
+    v2 = jnp.min(masked, axis=1, keepdims=True)
     gidx = (j * bm + i1).astype(jnp.int32)
 
     # merge with carry
@@ -79,7 +81,8 @@ def _match_kernel(d1_ref, d2_ref, m2_ref, out_val_ref, out_idx_ref,
 
     @pl.when(j == n_j - 1)
     def _():
-        out_val_ref[:] = jnp.stack([best_ref[:], second_ref[:]], axis=1)
+        out_val_ref[:] = jnp.concatenate([best_ref[:], second_ref[:]],
+                                         axis=1)
         out_idx_ref[:] = bidx_ref[:]
 
 
@@ -108,31 +111,31 @@ def fused_knn2(desc1: jnp.ndarray, desc2: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m,), lambda i, j: (j,),
+            pl.BlockSpec((block_m, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((block_n, 2), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i, j: (i,),
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_n,), jnp.float32),
-            pltpu.VMEM((block_n,), jnp.float32),
-            pltpu.VMEM((block_n,), jnp.int32),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(desc1, desc2, mask2.astype(jnp.float32))
+    )(desc1, desc2, mask2.astype(jnp.float32)[:, None])
 
     sq1 = jnp.sum(desc1 * desc1, axis=1)
     vals = jnp.sqrt(jnp.maximum(out_val + sq1[:, None], 0.0))
     vals = jnp.where(out_val >= _BIG * 0.5, _BIG, vals)
-    return out_idx, vals[:, 0], vals[:, 1]
+    return out_idx[:, 0], vals[:, 0], vals[:, 1]
 
 
 def pallas_available() -> bool:

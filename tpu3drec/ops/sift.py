@@ -192,38 +192,41 @@ def _sample_gradients(grad_stack: jnp.ndarray,
                       layer: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     """Bilinear-sample BOTH gradient channels at once.
 
-    grad_stack: (S, H, W, 2) with dx/dy in the last axis. Profiling showed
-    per-keypoint sampling is gather-INDEX bound on TPU (one element per
-    index); this version gathers a (1, 2, 2, 2) block per sample — the four
-    bilinear taps times both channels — so it issues 8x fewer indices than
-    eight elementwise gathers. Returns (gx, gy), each (K, P).
+    grad_stack: (2, S, H, W) with dx/dy LEADING (channels-last would make
+    XLA tile the size-2 axis to 128 lanes — observed 85x padding, 9.4 GB
+    temp). Profiling showed per-keypoint sampling is gather-INDEX bound on
+    TPU (one element per index); this version gathers a (2, 1, 2, 2) block
+    per sample — both channels times the four bilinear taps — so it issues
+    8x fewer indices than eight elementwise gathers. Returns (gx, gy),
+    each (K, P).
     """
-    s, h, w, _ = grad_stack.shape
+    _, s, h, w = grad_stack.shape
     k, p = x.shape
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = (x - x0)[None, ...]
+    fy = (y - y0)[None, ...]
     starts = jnp.stack([
+        jnp.zeros(k * p, jnp.int32),
         jnp.broadcast_to(layer[:, None], (k, p)).reshape(-1),
         y0.reshape(-1),
         x0.reshape(-1),
-        jnp.zeros(k * p, jnp.int32),
     ], axis=1)  # (K*P, 4)
     dnums = lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3, 4),
         collapsed_slice_dims=(),
         start_index_map=(0, 1, 2, 3))
     blocks = lax.gather(grad_stack, starts, dnums,
-                        slice_sizes=(1, 2, 2, 2),
+                        slice_sizes=(2, 1, 2, 2),
                         mode=lax.GatherScatterMode.CLIP)
-    blocks = blocks.reshape(k, p, 2, 2, 2)  # (K, P, y-tap, x-tap, channel)
-    top = (1 - fx) * blocks[:, :, 0, 0] + fx * blocks[:, :, 0, 1]
-    bot = (1 - fx) * blocks[:, :, 1, 0] + fx * blocks[:, :, 1, 1]
-    v = (1 - fy) * top + fy * bot      # (K, P, 2)
-    return v[..., 0], v[..., 1]
+    blocks = blocks.reshape(k, p, 2, 2, 2)  # (K, P, channel, y-tap, x-tap)
+    blocks = jnp.moveaxis(blocks, 2, 0)     # (channel, K, P, y, x)
+    top = (1 - fx) * blocks[..., 0, 0] + fx * blocks[..., 0, 1]
+    bot = (1 - fx) * blocks[..., 1, 0] + fx * blocks[..., 1, 1]
+    v = (1 - fy) * top + fy * bot           # (2, K, P)
+    return v[0], v[1]
 
 
 # static descriptor-binning constants ---------------------------------
@@ -360,7 +363,7 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
         layer_idx = jnp.clip(jnp.round(ls).astype(jnp.int32), 1, N_LAYERS)
         dx_stack = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
         dy_stack = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
-        grad_stack = jnp.stack([dx_stack, dy_stack], axis=-1)  # (S,H,W,2)
+        grad_stack = jnp.stack([dx_stack, dy_stack], axis=0)  # (2,S,H,W)
 
         # orientation
         px = xs[:, None] + ori_offs[None, :, 0] * scl_oct[:, None]
