@@ -81,22 +81,50 @@ class SfMPipeline:
 
     # ------------------------------------------------------------------
     def reconstruct(self, matches_data: Dict, image_info: Optional[Dict] = None,
-                    output_dir=None, chosen_images: Optional[List[str]] = None
+                    output_dir=None, chosen_images: Optional[List[str]] = None,
+                    checkpoint_dir=None, resume: bool = True
                     ) -> Reconstruction:
-        """process_monument_reconstruction equivalent (CPE/pipeline.py:231)."""
+        """process_monument_reconstruction equivalent (CPE/pipeline.py:231).
+
+        checkpoint_dir enables the reference's crash-safe SfM checkpointing
+        (saved_variable.pkl, CPE/pipeline.py:529-533): full state is saved
+        after two-view init and every registered view, and `resume=True`
+        restarts from it.
+        """
         image_info = image_info or {}
         if chosen_images:
             matches_data = {k: v for k, v in matches_data.items()
                             if k[0] in chosen_images and k[1] in chosen_images}
+
+        ckpt_path = None
+        if checkpoint_dir is not None:
+            Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+            ckpt_path = Path(checkpoint_dir) / "sfm_checkpoint.pkl"
+
         recon = Reconstruction()
+        resumed = False
+        if resume and ckpt_path is not None and ckpt_path.exists():
+            try:
+                recon = Reconstruction.load_state(ckpt_path)
+                resumed = recon.num_cameras >= 2
+            except Exception:
+                recon = Reconstruction()
+        if resumed:
+            self.history.append({"phase": "resume",
+                                 "cameras": recon.num_cameras,
+                                 "points": recon.num_points})
 
         # ---- Phase 1: two-view initialization -------------------------
-        t0 = time.perf_counter()
-        init = self._initialize_two_view(recon, matches_data, image_info)
-        if init is None:
-            raise RuntimeError("two-view initialization failed: no usable pair")
-        self.history.append({"phase": "init", **init,
-                             "time_s": time.perf_counter() - t0})
+        if not resumed:
+            t0 = time.perf_counter()
+            init = self._initialize_two_view(recon, matches_data, image_info)
+            if init is None:
+                raise RuntimeError(
+                    "two-view initialization failed: no usable pair")
+            self.history.append({"phase": "init", **init,
+                                 "time_s": time.perf_counter() - t0})
+            if ckpt_path is not None:
+                recon.save_state(ckpt_path)
 
         # ---- Phase 2: incremental view addition ------------------------
         all_images = {n for pair in matches_data for n in pair}
@@ -113,6 +141,8 @@ class SfMPipeline:
             self.history.append({"phase": "add_view", "image": name,
                                  "success": added,
                                  "time_s": time.perf_counter() - t0})
+            if added and ckpt_path is not None:
+                recon.save_state(ckpt_path)  # checkpoint after every view
 
         # ---- Phase 3: global optimization ------------------------------
         t0 = time.perf_counter()

@@ -216,6 +216,37 @@ class Reconstruction:
         with open(path, "wb") as f:
             pickle.dump(self.to_legacy_format(), f)
 
+    # -- full-state checkpointing (reference: saved_variable.pkl after
+    # two-view init, CPE/pipeline.py:241-242, 529-533) -------------------
+
+    def save_state(self, path) -> None:
+        """Complete resumable state (cameras + points + observations)."""
+        state = {
+            "cameras": {n: {"R": c.R, "t": c.t, "K": c.K,
+                            "image_size": c.image_size}
+                        for n, c in self.cameras.items()},
+            "points": self.points,
+            "point_colors": self.point_colors,
+            "observations": self.observations,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    @classmethod
+    def load_state(cls, path) -> "Reconstruction":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        recon = cls()
+        for n, c in state["cameras"].items():
+            recon.add_camera(Camera(n, np.asarray(c["R"]), np.asarray(c["t"]),
+                                    np.asarray(c["K"]),
+                                    tuple(c["image_size"])))
+        for p, col in zip(state["points"], state["point_colors"]):
+            recon.add_point(p, col)
+        for cam_name, pid, uv in state["observations"]:
+            recon.add_observation(cam_name, pid, uv)
+        return recon
+
     def export_colmap(self, output_dir) -> None:
         from tpu3drec.io.colmap import export_sparse_model
         names = sorted(self.cameras)
