@@ -190,15 +190,16 @@ def _sample_stack(stack_flat: jnp.ndarray, h: int, w: int,
 
 def _sample_gradients(grad_stack: jnp.ndarray,
                       layer: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Bilinear-sample BOTH gradient channels at once.
+    """Bilinear-sample both gradient channels with block gathers.
 
-    grad_stack: (2, S, H, W) with dx/dy LEADING (channels-last would make
-    XLA tile the size-2 axis to 128 lanes — observed 85x padding, 9.4 GB
-    temp). Profiling showed per-keypoint sampling is gather-INDEX bound on
-    TPU (one element per index); this version gathers a (2, 1, 2, 2) block
-    per sample — both channels times the four bilinear taps — so it issues
-    8x fewer indices than eight elementwise gathers. Returns (gx, gy),
-    each (K, P).
+    grad_stack: (2, S, H, W) with dx/dy leading. Profiling showed
+    per-keypoint sampling is gather-INDEX bound on TPU (one element per
+    index); each channel is fetched with (1, 2, 2) blocks — the four
+    bilinear taps per index — i.e. 4x fewer indices than elementwise
+    gathers. The channels are gathered SEPARATELY on purpose: any gather
+    whose slice covers the size-2 channel axis makes XLA lay that axis
+    minor and tile it to 128 lanes (observed 85x padding / 9.4 GB temps);
+    per-channel 3-D gathers keep H, W minor. Returns (gx, gy), each (K, P).
     """
     _, s, h, w = grad_stack.shape
     k, p = x.shape
@@ -206,27 +207,28 @@ def _sample_gradients(grad_stack: jnp.ndarray,
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[None, ...]
-    fy = (y - y0)[None, ...]
+    fx = x - x0
+    fy = y - y0
     starts = jnp.stack([
-        jnp.zeros(k * p, jnp.int32),
         jnp.broadcast_to(layer[:, None], (k, p)).reshape(-1),
         y0.reshape(-1),
         x0.reshape(-1),
-    ], axis=1)  # (K*P, 4)
+    ], axis=1)  # (K*P, 3)
     dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3, 4),
+        offset_dims=(1, 2, 3),
         collapsed_slice_dims=(),
-        start_index_map=(0, 1, 2, 3))
-    blocks = lax.gather(grad_stack, starts, dnums,
-                        slice_sizes=(2, 1, 2, 2),
-                        mode=lax.GatherScatterMode.CLIP)
-    blocks = blocks.reshape(k, p, 2, 2, 2)  # (K, P, channel, y-tap, x-tap)
-    blocks = jnp.moveaxis(blocks, 2, 0)     # (channel, K, P, y, x)
-    top = (1 - fx) * blocks[..., 0, 0] + fx * blocks[..., 0, 1]
-    bot = (1 - fx) * blocks[..., 1, 0] + fx * blocks[..., 1, 1]
-    v = (1 - fy) * top + fy * bot           # (2, K, P)
-    return v[0], v[1]
+        start_index_map=(0, 1, 2))
+
+    def chan(c):
+        blocks = lax.gather(grad_stack[c], starts, dnums,
+                            slice_sizes=(1, 2, 2),
+                            mode=lax.GatherScatterMode.CLIP)
+        b = blocks.reshape(k, p, 2, 2)  # (K, P, y-tap, x-tap)
+        top = (1 - fx) * b[..., 0, 0] + fx * b[..., 0, 1]
+        bot = (1 - fx) * b[..., 1, 0] + fx * b[..., 1, 1]
+        return (1 - fy) * top + fy * bot
+
+    return chan(0), chan(1)
 
 
 # static descriptor-binning constants ---------------------------------
