@@ -160,6 +160,24 @@ class BatchImageLoader:
 
     def load_batch(self, metas: Sequence[ImageMetadata]) -> Dict[str, np.ndarray]:
         out = {}
+        misses = [m for m in metas if m.name not in self.cache]
+        # fast path: the native C++ pthread-pool decoder (io/native_decoder)
+        native = [m for m in misses
+                  if Path(m.path).suffix.lower() in (".jpg", ".jpeg", ".png")
+                  and m.width > 0 and m.height > 0]
+        if len(native) > 1:
+            try:
+                from tpu3drec.io import native_decoder
+                if native_decoder.available():
+                    decoded = native_decoder.decode_batch(
+                        [m.path for m in native],
+                        [(m.height, m.width) for m in native],
+                        resize_to=self.resize_to)
+                    for m, img in zip(native, decoded):
+                        if img is not None:
+                            self.cache.put(m.name, img)
+            except Exception:
+                pass  # fall through to PIL per-image
         for m in metas:
             img = self.cache.get(m.name)
             if img is None:
