@@ -190,45 +190,35 @@ def _sample_stack(stack_flat: jnp.ndarray, h: int, w: int,
 
 def _sample_gradients(grad_stack: jnp.ndarray,
                       layer: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Bilinear-sample both gradient channels with block gathers.
+    """Bilinear-sample both gradient channels.
 
-    grad_stack: (2, S, H, W) with dx/dy leading. Profiling showed
-    per-keypoint sampling is gather-INDEX bound on TPU (one element per
-    index); each channel is fetched with (1, 2, 2) blocks — the four
-    bilinear taps per index — i.e. 4x fewer indices than elementwise
-    gathers. The channels are gathered SEPARATELY on purpose: any gather
-    whose slice covers the size-2 channel axis makes XLA lay that axis
-    minor and tile it to 128 lanes (observed 85x padding / 9.4 GB temps);
-    per-channel 3-D gathers keep H, W minor. Returns (gx, gy), each (K, P).
+    grad_stack: (2, S, H, W) with dx/dy leading. Measured on hardware:
+    XLA gather throughput is bound by ELEMENTS fetched (~50M/s), not index
+    count — block gathers (slice_sizes (1,2,2)) ran 30x SLOWER (layout
+    handling), and 2-wide 1-D slices bought nothing. Plain linearized
+    jnp.take per bilinear tap is the fastest XLA formulation; the next
+    step-change needs a Pallas window-DMA kernel (see ops/pallas_sample).
+    Returns (gx, gy), each (K, P).
     """
     _, s, h, w = grad_stack.shape
-    k, p = x.shape
     x = jnp.clip(x, 0.0, w - 1.001)
     y = jnp.clip(y, 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    starts = jnp.stack([
-        jnp.broadcast_to(layer[:, None], (k, p)).reshape(-1),
-        y0.reshape(-1),
-        x0.reshape(-1),
-    ], axis=1)  # (K*P, 3)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1, 2))
+    base = (layer * (h * w))[:, None] + y0 * w + x0
 
-    def chan(c):
-        blocks = lax.gather(grad_stack[c], starts, dnums,
-                            slice_sizes=(1, 2, 2),
-                            mode=lax.GatherScatterMode.CLIP)
-        b = blocks.reshape(k, p, 2, 2)  # (K, P, y-tap, x-tap)
-        top = (1 - fx) * b[..., 0, 0] + fx * b[..., 0, 1]
-        bot = (1 - fx) * b[..., 1, 0] + fx * b[..., 1, 1]
-        return (1 - fy) * top + fy * bot
+    def chan(flat):
+        v00 = jnp.take(flat, base, axis=0)
+        v01 = jnp.take(flat, base + 1, axis=0)
+        v10 = jnp.take(flat, base + w, axis=0)
+        v11 = jnp.take(flat, base + w + 1, axis=0)
+        return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+                + fy * ((1 - fx) * v10 + fx * v11))
 
-    return chan(0), chan(1)
+    return (chan(grad_stack[0].reshape(-1)),
+            chan(grad_stack[1].reshape(-1)))
 
 
 # static descriptor-binning constants ---------------------------------
