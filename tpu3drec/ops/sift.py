@@ -338,7 +338,10 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
         dog = gauss[1:] - gauss[:-1]
         ext = _dog_extrema_mask(dog, contrast_threshold)
 
-        cap = max(128, max_features >> o)
+        cap = max(128, (max_features * 5 // 8) >> o)  # candidate budget: the
+        # final global top-K keeps max_features across octaves, so per-
+        # octave candidates can be tighter than max_features (descriptor
+        # sampling cost scales directly with the candidate count)
         score = jnp.where(ext, jnp.abs(dog), 0.0).reshape(-1)
         k_cap = min(cap, score.shape[0])
         # TPU-native approximate partial top-k for candidate selection
