@@ -40,10 +40,11 @@ def main():
     import jax.numpy as jnp
     from __graft_entry__ import _make_pair_fn
 
+    import os
     H, W = 480, 640
     MAX_FEATURES = 2048
-    BATCH = 8
-    REPS = 5
+    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+    REPS = int(os.environ.get("BENCH_REPS", "5"))
 
     pair_fn = _make_pair_fn(max_features=MAX_FEATURES, num_hypotheses=256)
     batched = jax.jit(jax.vmap(pair_fn))
