@@ -197,6 +197,60 @@ def stereo_depth_pair(img1: jnp.ndarray, img2: jnp.ndarray,
             "H1": H1, "H2": H2, "baseline": baseline}
 
 
+@functools.partial(jax.jit, static_argnames=("num_planes",))
+def plane_sweep_depth(ref: jnp.ndarray, other: jnp.ndarray,
+                      K_ref: jnp.ndarray, K_other: jnp.ndarray,
+                      R: jnp.ndarray, t: jnp.ndarray,
+                      min_depth: float, max_depth: float,
+                      num_planes: int = 64,
+                      cost_window: int = 5) -> StereoResult:
+    """True plane-sweep stereo for UNRECTIFIED pairs (SURVEY §2.6's
+    "plane-sweep cost volume"): for each fronto-parallel depth plane d the
+    neighbour view is warped into the reference frame by the plane-induced
+    homography H_d = K_o (R + t n^T / d) K_ref^-1 (n = [0,0,1]), the
+    matching cost is a window-aggregated absolute difference, and the same
+    SGM aggregation + subpixel WTA used by the rectified path picks the
+    depth. Depth planes are sampled uniformly in INVERSE depth (equal
+    pixel-displacement spacing).
+
+    (R, t): pose of `other` relative to `ref` (x_o = R x_r + t).
+    """
+    h, w = ref.shape
+    inv_min, inv_max = 1.0 / max_depth, 1.0 / min_depth
+    K_ref_inv = jnp.linalg.inv(K_ref)
+    n = jnp.array([0.0, 0.0, 1.0])
+
+    def cost_at_plane(inv_d):
+        H = K_other @ (R + jnp.outer(t, n) * inv_d) @ K_ref_inv
+        warped = warp_perspective(other, jnp.linalg.inv(H), (h, w))
+        c = jnp.abs(ref - warped)
+        return box_blur(c, cost_window)
+
+    inv_depths = jnp.linspace(inv_max, inv_min, num_planes)
+    volume = jax.vmap(cost_at_plane)(inv_depths)   # (D, H, W)
+    agg = sgm_aggregate(volume)
+    idx, _ = winner_take_all(agg)
+    # interpolate inverse depth at the (fractional) winning plane index
+    frac = jnp.clip(idx, 0, num_planes - 1)
+    i0 = jnp.clip(jnp.floor(frac).astype(jnp.int32), 0, num_planes - 2)
+    f = frac - i0
+    inv_depth = inv_depths[i0] * (1 - f) + inv_depths[i0 + 1] * f
+    depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
+    # validity: the best cost must beat a flat-cost floor
+    best_cost = jnp.min(agg, axis=0)
+    valid = best_cost < jnp.percentile(best_cost, 90)
+    return StereoResult(disparity=frac, depth=jnp.where(valid, depth, 0.0),
+                        valid=valid)
+
+
+def box_blur(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable window sum via cumulative sums (cost aggregation)."""
+    if size <= 1:
+        return img
+    from tpu3drec.ops.image import box_filter
+    return box_filter(img, size)
+
+
 def fuse_depth_maps(depths: jnp.ndarray, valids: jnp.ndarray,
                     baselines: jnp.ndarray,
                     method: str = "weighted") -> Tuple[jnp.ndarray, jnp.ndarray]:
