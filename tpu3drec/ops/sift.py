@@ -58,7 +58,7 @@ DESC_MAG_THR = 0.2
 ORI_SAMPLES = 9         # fixed orientation-patch side (13 and 9 give
                         # identical GT-warp match quality; 9 = 2x fewer
                         # gather elements in the orientation stage)
-DESC_SAMPLES = 16       # fixed descriptor-patch side
+DESC_SAMPLES = 12       # fixed descriptor-patch side
 
 
 def num_octaves(h: int, w: int, min_size: int = 16) -> int:
