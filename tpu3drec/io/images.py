@@ -175,6 +175,9 @@ class BatchImageLoader:
                         resize_to=self.resize_to)
                     for m, img in zip(native, decoded):
                         if img is not None:
+                            # a natively-decoded image was still a cache
+                            # miss — keep hit/miss analytics truthful
+                            self.cache.misses += 1
                             self.cache.put(m.name, img)
             except Exception:
                 pass  # fall through to PIL per-image

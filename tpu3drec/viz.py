@@ -130,6 +130,22 @@ def visualize_matches_quick(image1, image2, method: str = "SIFT",
     return ax
 
 
+def show_matches(image1, image2, result, **kw):
+    """Reference-API alias (visualization.py:247-263)."""
+    return visualize_matches(image1, image2, result, **kw)
+
+
+def visualize_matches_with_scores(image1, image2, result, **kw):
+    """Reference-API alias (visualization.py:265-335) — the score coloring
+    is the default in visualize_matches here."""
+    return visualize_matches(image1, image2, result, **kw)
+
+
+def plot_visualization_data(image1, image2, matching_result, **kw):
+    """Reference-API alias (visualization.py:19-120): multi-method plot."""
+    return plot_method_comparison(image1, image2, matching_result, **kw)
+
+
 def plot_reconstruction_3d(recon, max_points: int = 5000, save_to=None):
     """3-D scatter of the sparse cloud + camera frusta (the SfM-stage
     analogue of the reference's matplotlib cloud views,
