@@ -83,12 +83,19 @@ def find_essential(pts1: jnp.ndarray, pts2: jnp.ndarray,
                    threshold_px: float = 1.5,
                    num_hypotheses: int = 1024,
                    key: Optional[jax.Array] = None,
-                   refit: bool = True) -> EssentialResult:
+                   refit: bool = True,
+                   method: str = "8point") -> EssentialResult:
     """RANSAC essential matrix from *pixel* correspondences.
 
     threshold_px is in pixels (reference MatrixEstimationConfig.ransac_threshold
     = 1.5, essential_estimation.py:6-20); internally scaled to normalized
     coords by the mean focal length — cv2.findEssentialMat's convention.
+
+    method: '8point' (normalized 8-point + essential-manifold projection)
+    or '5point' (Nister minimal solver, ops/five_point.py; up to 10 models
+    per sample — the reference's FIVE_POINT option,
+    essential_estimation.py:117-147). 8-point needs larger clean samples
+    but is cheaper per hypothesis; 5-point tolerates lower inlier ratios.
     """
     K2 = K1 if K2 is None else K2
     n = pts1.shape[0]
@@ -99,13 +106,23 @@ def find_essential(pts1: jnp.ndarray, pts2: jnp.ndarray,
     f_mean = 0.25 * (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1])
     thr_norm = threshold_px / f_mean
 
-    def solver(a, b):
-        return solve_essential_8pt(a, b)
+    if method == "5point":
+        from tpu3drec.ops.five_point import solve_essential_5pt
+        res = ransac(p1n, p2n, mask, key,
+                     solver=solve_essential_5pt,
+                     residual_fn=sampson_error,
+                     sample_size=5,
+                     num_hypotheses=max(num_hypotheses // 10, 64),
+                     models_per_sample=10,
+                     threshold=float(thr_norm))
+    else:
+        def solver(a, b):
+            return solve_essential_8pt(a, b)
 
-    res = ransac(p1n, p2n, mask, key,
-                 solver=solver, residual_fn=sampson_error,
-                 sample_size=8, num_hypotheses=num_hypotheses,
-                 threshold=float(thr_norm))
+        res = ransac(p1n, p2n, mask, key,
+                     solver=solver, residual_fn=sampson_error,
+                     sample_size=8, num_hypotheses=num_hypotheses,
+                     threshold=float(thr_norm))
     E, inl = res.model, res.inliers
     if refit:
         E2, ok = solve_essential_8pt(p1n, p2n, inl.astype(p1n.dtype))
