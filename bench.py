@@ -52,14 +52,17 @@ def main():
     imgs1 = jnp.asarray(np.stack([synthetic_photo(H, W, i) for i in range(BATCH)]))
     imgs2 = jnp.asarray(np.stack([synthetic_photo(H, W, 100 + i) for i in range(BATCH)]))
 
-    # warmup / compile
-    out = batched(imgs1, imgs2)
-    jax.block_until_ready(out)
+    # warmup / compile. NB: block_until_ready does NOT block on the axon
+    # backend (CLAUDE.md) — force a host materialization of an output that
+    # depends on the whole computation instead.
+    def materialize(o):
+        return np.asarray(o["num_inliers"]).sum() + np.asarray(o["num_matches"]).sum()
+
+    materialize(batched(imgs1, imgs2))
 
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = batched(imgs1, imgs2)
-        jax.block_until_ready(out)
+        materialize(batched(imgs1, imgs2))
     dt = (time.perf_counter() - t0) / REPS
     pairs_per_s = BATCH / dt
 

@@ -136,3 +136,19 @@ def test_harris_detector_api(photo):
     assert len(f) > 50
     # corners should be at high-gradient locations
     assert f.desc.shape[1] == 128
+
+
+def test_small_image_static_shape_contract():
+    """Images with <3 octaves (short side < 64) must still honor the
+    detector contract: capacity max_features, padded with mask=False
+    (ADVICE r1: per-octave candidate budgets can sum below max_features)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (48, 48)).astype(np.float32)
+    f = detect_sift_features(jnp.asarray(img), max_features=2048)
+    assert f.xy.shape == (2048, 2)
+    assert f.desc.shape == (2048, 128)
+    assert f.mask.shape == (2048,)
+    # padded rows are invalid
+    n_valid = int(np.asarray(f.mask).sum())
+    assert n_valid < 2048

@@ -17,6 +17,7 @@ so either framework's matching output feeds either framework's SfM stage.
 
 from __future__ import annotations
 
+import ast
 import glob
 import pickle
 import re
@@ -40,7 +41,7 @@ def pair_data_from_result(result, max_matches: Optional[int] = None) -> Dict:
         corr = corr[:max_matches]
     return {
         "correspondences": corr.tolist(),
-        "num_matches": int(valid.sum()),
+        "num_matches": len(corr),
         "quality_score": float(result.get_quality_score()),
         "method": result.method,
         "score_type": m.score_type,
@@ -129,7 +130,9 @@ def load_and_validate_pickle(pickle_file: str) -> Dict:
         for key, pd in results.items():
             if isinstance(key, str) and key.startswith("("):
                 try:
-                    key = eval(key)  # noqa: S307 — reference compat (utils.py:264)
+                    # reference compat (utils.py:264) — literal_eval only:
+                    # a pickle key must never execute code
+                    key = ast.literal_eval(key)
                 except Exception:
                     continue
             if not (isinstance(key, tuple) and len(key) == 2):

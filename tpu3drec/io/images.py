@@ -165,6 +165,7 @@ class BatchImageLoader:
         native = [m for m in misses
                   if Path(m.path).suffix.lower() in (".jpg", ".jpeg", ".png")
                   and m.width > 0 and m.height > 0]
+        decoded_now: Dict[str, np.ndarray] = {}
         if len(native) > 1:
             try:
                 from tpu3drec.io import native_decoder
@@ -179,9 +180,15 @@ class BatchImageLoader:
                             # miss — keep hit/miss analytics truthful
                             self.cache.misses += 1
                             self.cache.put(m.name, img)
+                            decoded_now[m.name] = img
             except Exception:
                 pass  # fall through to PIL per-image
         for m in metas:
+            if m.name in decoded_now:
+                # already counted as a miss above; don't route through
+                # cache.get, which would record a spurious hit
+                out[m.name] = decoded_now.pop(m.name)
+                continue
             img = self.cache.get(m.name)
             if img is None:
                 img = _read_image(m.path, self.resize_to)

@@ -360,6 +360,10 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
         layer_idx = jnp.clip(jnp.round(ls).astype(jnp.int32), 1, N_LAYERS)
         dx_stack = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
         dy_stack = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
+        # jnp.roll wraps; zero the border rows/cols so descriptor windows of
+        # near-border keypoints don't sample opposite-edge pixels
+        dx_stack = dx_stack.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+        dy_stack = dy_stack.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
         # bf16 gradient storage: sampling is gather-bandwidth bound and the
         # orientation/descriptor histograms are insensitive to the mantissa
         # (verified: identical GT-warp match sets vs f32)
@@ -380,6 +384,13 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
                              + ca[:, None] * _DESC_OY[None]) * scl_oct[:, None]
         gxd, gyd = _sample_gradients(grad_stack, layer_idx, pxd, pyd)
         desc = _descriptor_from_samples(gxd, gyd, angle)
+        # reject keypoints whose descriptor window is mostly outside the
+        # image: their zero-padded descriptors are non-distinctive and form
+        # spurious ratio-test matches (ADVICE r1; OpenCV skips out-of-image
+        # samples, and frame-edge keypoints rarely survive its border gates)
+        in_img = ((pxd >= 0) & (pxd <= wh - 1) &
+                  (pyd >= 0) & (pyd <= hh - 1)).astype(jnp.float32)
+        keep &= jnp.mean(in_img, axis=1) >= 0.8
 
         factor = (2.0 ** o) * (0.5 if upscale else 1.0)
         all_parts.append(dict(
@@ -396,9 +407,18 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
     merged = {k: jnp.concatenate([p[k] for p in all_parts], axis=0)
               for k in all_parts[0]}
     score = jnp.where(merged["mask"], merged["response"], -jnp.inf)
-    _, order = lax.top_k(score, max_features)
-    out = {k: v[order] for k, v in merged.items()}
+    # small images can yield fewer candidates than max_features (per-octave
+    # budgets shrink with octave count) — keep the static-shape contract by
+    # top-k'ing what exists and padding to capacity with mask=False rows
+    k = min(max_features, score.shape[0])
+    _, order = lax.top_k(score, k)
+    out = {key: v[order] for key, v in merged.items()}
     out["mask"] = out["mask"] & (score[order] > -jnp.inf)
+    if k < max_features:
+        pad = max_features - k
+        out = {key: jnp.concatenate(
+            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+            for key, v in out.items()}
     return out["xy"], out["response"], out["scale"], out["angle"], \
         out["desc"], out["mask"]
 
