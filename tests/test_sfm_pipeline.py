@@ -151,3 +151,68 @@ def test_pair_selector_prefers_wide_baseline():
     pair, score = best
     assert score["total"] > 0.3
     assert score["inlier_ratio"] > 0.8
+
+
+def make_weak_scene(seed=3, noise=0.3):
+    """Weakly-connected folder: a chain of views where consecutive pairs
+    share almost no 3D points with the previous pair (overlap 10 < the
+    PnP minimum of 15). Without progressive triangulation + track
+    extension the chain breaks after the init pair; with them every view
+    registers (VERDICT r1, 'Next round' item 4)."""
+    rng = np.random.default_rng(seed)
+    W, H = 640, 480
+    K = np.array([[700, 0, W / 2], [0, 700, H / 2], [0, 0, 1]], np.float64)
+    n_pts = 600
+    X = rng.uniform(-5, 5, size=(n_pts, 3)) + np.array([0, 0, 14.0])
+    n_views = 5
+    views = []
+    for i in range(n_views):
+        ang = (i - n_views / 2) * 0.10
+        R = cv2.Rodrigues(np.array([0.0, ang, 0.0]))[0]
+        c = np.array([7 * np.sin(ang), 0.15 * i, 14 - 7 * np.cos(ang)])
+        t = -R @ c
+        views.append((R, t))
+
+    def project(R, t, ids):
+        Xc = (R @ X[ids].T + t[:, None]).T
+        uv = (K @ Xc.T).T
+        return uv[:, :2] / uv[:, 2:3]
+
+    names = [f"img_{i:02d}.png" for i in range(n_views)]
+    # consecutive chain with 10-point overlap between segments
+    segments = [np.arange(0, 150), np.arange(140, 290),
+                np.arange(280, 430), np.arange(420, 570)]
+    matches_data = {}
+    for i in range(n_views - 1):
+        ids = segments[i]
+        uv_i = project(*views[i], ids) + noise * rng.standard_normal((len(ids), 2))
+        uv_j = project(*views[i + 1], ids) + noise * rng.standard_normal((len(ids), 2))
+        corr = np.concatenate([uv_i, uv_j], axis=1)
+        matches_data[(names[i], names[i + 1])] = {
+            "correspondences": corr.tolist(),
+            "num_matches": len(ids),
+            "quality_score": 0.8,
+        }
+    image_info = {n: {"name": n, "width": W, "height": H} for n in names}
+    return matches_data, image_info, names
+
+
+def test_progressive_rescues_weakly_connected_folder():
+    matches_data, image_info, names = make_weak_scene()
+
+    base_cfg = SfMConfig(enable_progressive=False,
+                         enable_track_extension=False)
+    base = SfMPipeline(base_cfg).reconstruct(
+        dict(matches_data), dict(image_info))
+
+    prog = SfMPipeline(SfMConfig()).reconstruct(
+        dict(matches_data), dict(image_info))
+
+    # without the recall machinery the chain breaks (segment overlap 10
+    # < min_pnp_correspondences 15)
+    assert base.num_cameras < len(names)
+    assert prog.num_cameras == len(names), sorted(prog.cameras)
+    assert prog.num_points >= 1.5 * max(base.num_points, 1), \
+        (prog.num_points, base.num_points)
+    q = assess_reconstruction_quality(prog)
+    assert q["mean_reprojection_error"] < 2.0, q

@@ -40,13 +40,19 @@ class SfMConfig:
     min_init_inliers: int = 30          # essential_estimation.py:160-170
     min_init_inlier_ratio: float = 0.4
     essential_threshold_px: float = 1.5  # MatrixEstimationConfig
+    # reference default path is 5-point RANSAC (essential_estimation.py:
+    # 117-147 via cv2.findEssentialMat); ops/five_point.py Nister solver
+    essential_method: str = "5point"
     min_pnp_correspondences: int = 15    # CPE/pipeline.py:2010
     pnp_threshold_px: float = 4.0
     max_reproj_px: float = 2.0           # TriangulationConfig
     relaxed_reproj_px: float = 4.0       # re-triangulation relaxation (:421-507)
     min_angle_deg: float = 2.0
     relaxed_angle_deg: float = 1.0
-    mine_tolerance_px: float = 2.0       # 2D-3D mining match tolerance
+    # 2D-3D mining tolerance fallback ladder (correspondence_manager.py:
+    # 375-555, CPE/pipeline.py:1985-2187): widen the pixel gate until
+    # enough correspondences are found
+    mine_tolerance_ladder: Tuple[float, ...] = (2.0, 4.0, 8.0)
     incremental_ba_window: int = 3       # last <=3 cameras (:1327-1341)
     ba_max_iters: int = 20
     global_ba_max_iters: int = 30
@@ -55,6 +61,19 @@ class SfMConfig:
     # pipeline2 variant: joint E+K iterative refinement in two-view init
     # (reference pipeline2.py:288-339 wiring IterativeRefinementPipeline)
     use_iterative_refinement: bool = False
+    # progressive triangulation with unprocessed images + rough-pose
+    # bootstrap (triangulation.py:439-729, CPE/pipeline.py:535-572,
+    # 1138-1265, 1410-1571) and track extension (:795-855)
+    enable_progressive: bool = True
+    enable_track_extension: bool = True
+    progressive_tolerance_px: float = 4.0
+    track_extension_tolerance_px: float = 2.0
+    max_points_per_pair: int = 150       # TriangulationConfig caps
+    max_bootstrap_points_per_anchor: int = 200
+
+    @property
+    def mine_tolerance_px(self) -> float:  # backwards compat
+        return self.mine_tolerance_ladder[0]
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -70,6 +89,21 @@ def _pad2(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _min_dists(q: np.ndarray, ref: np.ndarray,
+               chunk: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-query min distance + argmin to a reference set, chunked so the
+    (N, M) distance block stays memory-bounded."""
+    n = len(q)
+    dist = np.empty(n)
+    idx = np.empty(n, int)
+    for s in range(0, n, chunk):
+        d = np.linalg.norm(q[s:s + chunk, None, :] - ref[None], axis=2)
+        j = d.argmin(axis=1)
+        idx[s:s + chunk] = j
+        dist[s:s + chunk] = d[np.arange(len(j)), j]
+    return dist, idx
+
+
 class SfMPipeline:
     """MainPosePipeline equivalent (CPE/pipeline.py:218)."""
 
@@ -78,6 +112,11 @@ class SfMPipeline:
         self.selector = InitializationPairSelector(ScoringConfig())
         self.intrinsics = ProgressiveIntrinsicsEstimator()
         self.history: List[Dict] = []
+        # 2D-3D links pre-established for images that are not cameras yet
+        # (track extension + bootstrap, reference triangulation.py:795-855):
+        # image name -> list of (point_id, uv). Consumed by _mine_2d3d when
+        # the image registers.
+        self.pending_obs: Dict[str, List[Tuple[int, np.ndarray]]] = {}
 
     # ------------------------------------------------------------------
     def reconstruct(self, matches_data: Dict, image_info: Optional[Dict] = None,
@@ -101,6 +140,7 @@ class SfMPipeline:
             Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
             ckpt_path = Path(checkpoint_dir) / "sfm_checkpoint.pkl"
 
+        self.pending_obs = {}
         recon = Reconstruction()
         resumed = False
         if resume and ckpt_path is not None and ckpt_path.exists():
@@ -123,6 +163,21 @@ class SfMPipeline:
                     "two-view initialization failed: no usable pair")
             self.history.append({"phase": "init", **init,
                                  "time_s": time.perf_counter() - t0})
+            # bootstrap progressive triangulation with unprocessed images
+            # (CPE/pipeline.py:535-572, 1138-1265) + post-bootstrap BA
+            if self.config.enable_progressive:
+                n_boot = self._progressive_triangulate(
+                    recon, list(recon.cameras), matches_data, image_info)
+                if n_boot > 50:
+                    self._run_ba(recon,
+                                 optimize_cams=list(recon.cameras)[1:],
+                                 max_iters=self.config.ba_max_iters)
+                self.history.append({"phase": "bootstrap",
+                                     "points_added": n_boot})
+            if self.config.enable_track_extension:
+                n_ext = self._extend_tracks(recon, matches_data)
+                self.history.append({"phase": "track_extension",
+                                     "links_added": n_ext})
             if ckpt_path is not None:
                 recon.save_state(ckpt_path)
 
@@ -211,6 +266,7 @@ class SfMPipeline:
         eres = find_essential(p1, p2, jnp.asarray(K1.astype(np.float32)),
                               jnp.asarray(K2.astype(np.float32)), mask=mask,
                               threshold_px=self.config.essential_threshold_px,
+                              method=self.config.essential_method,
                               key=jax.random.PRNGKey(0))
         num_inl = int(eres.num_inliers)
         if (not bool(eres.success) or num_inl < self.config.min_init_inliers
@@ -236,12 +292,11 @@ class SfMPipeline:
         ok = np.asarray(tri.mask)
         pts = np.asarray(tri.points)
         p1n, p2n = np.asarray(p1), np.asarray(p2)
-        n_first = 0
-        for i in np.where(ok)[0]:
-            pid = recon.add_point(pts[i])
-            recon.add_observation(name1, pid, p1n[i])
-            recon.add_observation(name2, pid, p2n[i])
-            n_first += 1
+        sel = np.where(ok)[0]
+        ids = recon.add_points_batch(pts[sel])
+        recon.add_observations_batch(name1, ids, p1n[sel])
+        recon.add_observations_batch(name2, ids, p2n[sel])
+        n_first = len(sel)
 
         # BA over the two views (fix cam1, fix scale via cam2 translation norm
         # being free -> instead freeze one translation coordinate)
@@ -269,13 +324,11 @@ class SfMPipeline:
                 jnp.asarray(cam2.R.astype(np.float32)),
                 jnp.asarray(cam2.t.astype(np.float32)),
                 mask=jnp.asarray(rej), config=relaxed)
-            ok2 = np.asarray(tri2.mask)
-            pts2 = np.asarray(tri2.points)
-            for i in np.where(ok2)[0]:
-                pid = recon.add_point(pts2[i])
-                recon.add_observation(name1, pid, p1n[i])
-                recon.add_observation(name2, pid, p2n[i])
-                n_rescued += 1
+            sel2 = np.where(np.asarray(tri2.mask))[0]
+            ids2 = recon.add_points_batch(np.asarray(tri2.points)[sel2])
+            recon.add_observations_batch(name1, ids2, p1n[sel2])
+            recon.add_observations_batch(name2, ids2, p2n[sel2])
+            n_rescued = len(sel2)
 
         self.intrinsics.learn(recon.cameras[name1].K, *size1)
         self.intrinsics.learn(recon.cameras[name2].K, *size2)
@@ -284,18 +337,11 @@ class SfMPipeline:
                 "points_initial": n_first, "points_rescued": n_rescued}
 
     # ------------------------------------------------------------------
-    def _mine_2d3d(self, recon: Reconstruction, new_name: str,
-                   matches_data: Dict) -> Tuple[np.ndarray, np.ndarray, List]:
-        """2D-3D correspondence mining (CPE/pipeline.py:1985-2187).
-
-        For every pair (new, processed): the processed image's side of each
-        correspondence is matched to that camera's existing observations by
-        pixel distance (tolerance ladder in the reference; single 2px gate
-        here since our exports are exact coordinates). Also returns the
-        leftover 2D-2D correspondences for later triangulation.
-        """
+    def _mine_at_tolerance(self, recon: Reconstruction, new_name: str,
+                           matches_data: Dict, tol: float, seen: set
+                           ) -> Tuple[List, List, List]:
         uv_new, pids, leftovers = [], [], []
-        seen_points = set()
+        seen_points = set(seen)
         for pair, pd in matches_data.items():
             if "error" in pd or new_name not in pair:
                 continue
@@ -316,10 +362,8 @@ class SfMPipeline:
                 continue
             obs_uv = np.stack([uv for _, uv in obs])
             obs_pid = np.array([p for p, _ in obs])
-            d = np.linalg.norm(other_xy[:, None, :] - obs_uv[None], axis=2)
-            j = d.argmin(axis=1)
-            dist = d[np.arange(len(corr)), j]
-            hit = dist <= self.config.mine_tolerance_px
+            dist, j = _min_dists(other_xy, obs_uv)
+            hit = dist <= tol
             for i in np.where(hit)[0]:
                 pid = int(obs_pid[j[i]])
                 if pid in seen_points:
@@ -328,9 +372,43 @@ class SfMPipeline:
                 uv_new.append(new_xy[i])
                 pids.append(pid)
             leftovers.append((other, new_xy, other_xy, ~hit))
-        if not uv_new:
+        return uv_new, pids, leftovers
+
+    def _mine_2d3d(self, recon: Reconstruction, new_name: str,
+                   matches_data: Dict) -> Tuple[np.ndarray, np.ndarray, List]:
+        """2D-3D correspondence mining with tolerance fallback ladder
+        (CPE/pipeline.py:1985-2187, correspondence_manager.py:375-555).
+
+        Pre-established links from track extension / bootstrap
+        (self.pending_obs) are consumed first; the ladder widens the pixel
+        gate until min_pnp_correspondences are found. Also returns the
+        leftover 2D-2D correspondences for later triangulation.
+        """
+        pend = self.pending_obs.get(new_name, [])
+        n_pts = recon.num_points
+        base_pids = []
+        base_uv = []
+        seen = set()
+        for pid, uv in pend:
+            pid = int(pid)
+            if pid < n_pts and pid not in seen:
+                seen.add(pid)
+                base_pids.append(pid)
+                base_uv.append(np.asarray(uv, np.float64))
+
+        need = self.config.min_pnp_correspondences
+        uv_new, pids, leftovers = [], [], []
+        for tol in self.config.mine_tolerance_ladder:
+            uv_new, pids, leftovers = self._mine_at_tolerance(
+                recon, new_name, matches_data, tol, seen)
+            if len(uv_new) + len(base_uv) >= need:
+                break
+
+        all_uv = base_uv + uv_new
+        all_pids = base_pids + pids
+        if not all_uv:
             return np.zeros((0, 2)), np.zeros(0, int), leftovers
-        return np.stack(uv_new), np.asarray(pids, int), leftovers
+        return np.stack(all_uv), np.asarray(all_pids, int), leftovers
 
     def _add_view(self, recon: Reconstruction, name: str,
                   matches_data: Dict, image_info: Dict) -> bool:
@@ -365,9 +443,9 @@ class SfMPipeline:
         R = np.asarray(res.R, np.float64)
         t = np.asarray(res.t, np.float64)
         recon.add_camera(Camera(name, R, t, K, size))
-        inl = np.asarray(res.inliers)[:n]
-        for i in np.where(inl)[0]:
-            recon.add_observation(name, int(pids[i]), uv[i])
+        inl = np.where(np.asarray(res.inliers)[:n])[0]
+        recon.add_observations_batch(name, pids[inl], uv[inl])
+        self.pending_obs.pop(name, None)
 
         # triangulate brand-new points against each processed neighbour
         tri_cfg = TriangulationConfig(
@@ -393,13 +471,19 @@ class SfMPipeline:
                 jnp.asarray(cam_o.R.astype(np.float32)),
                 jnp.asarray(cam_o.t.astype(np.float32)),
                 mask=jnp.asarray(mm), config=tri_cfg)
-            ok = np.asarray(tri.mask)
-            pts = np.asarray(tri.points)
-            for k in np.where(ok)[0]:
-                pid = recon.add_point(pts[k])
-                recon.add_observation(name, pid, new_xy[idx[k]])
-                recon.add_observation(other, pid, other_xy[idx[k]])
-                n_new += 1
+            sel = np.where(np.asarray(tri.mask))[0]
+            ids = recon.add_points_batch(np.asarray(tri.points)[sel])
+            recon.add_observations_batch(name, ids, new_xy[idx[sel]])
+            recon.add_observations_batch(other, ids, other_xy[idx[sel]])
+            n_new += len(sel)
+
+        # progressive triangulation of the new camera against unprocessed
+        # images + track extension (triangulation.py:439-729, 795-855)
+        if self.config.enable_progressive:
+            self._progressive_triangulate(recon, [name], matches_data,
+                                          image_info)
+        if self.config.enable_track_extension:
+            self._extend_tracks(recon, matches_data, only_camera=name)
 
         # incremental BA: last <=window cameras free, all points free
         # (dict preserves insertion order = processing order)
@@ -408,6 +492,165 @@ class SfMPipeline:
                      max_iters=self.config.ba_max_iters)
         self.intrinsics.learn(recon.cameras[name].K, *size)
         return True
+
+    # ------------------------------------------------------------------
+    def _progressive_triangulate(self, recon: Reconstruction,
+                                 anchors: List[str], matches_data: Dict,
+                                 image_info: Dict) -> int:
+        """Progressive triangulation with *unprocessed* images
+        (triangulation.py:439-729, CPE/pipeline.py:1138-1265).
+
+        For each anchor camera x unprocessed image with enough fresh
+        matches: estimate a rough pose for the unprocessed image (essential
+        RANSAC + cheirality, the reference's rough-pose estimation
+        :1410-1571), triangulate, and resolve the unknown baseline scale by
+        rescaling the new points about the anchor center so their median
+        anchor-frame depth matches the anchor's existing cloud (the
+        reference instead clamps to a conservative 0.5..20 range —
+        scale-consistent rescaling keeps bootstrap points compatible with
+        BA). New points get a real observation in the anchor and a pending
+        observation for the unprocessed image.
+        """
+        import jax
+        import jax.numpy as jnp
+        from tpu3drec.ops.epipolar import find_essential, recover_pose
+        from tpu3drec.ops.triangulate import (
+            triangulate_two_view, TriangulationConfig,
+        )
+        from tpu3drec.sfm.correspondence import lookup_pair
+
+        cfg = self.config
+        all_images = {n for pair in matches_data for n in pair}
+        unprocessed = sorted(all_images - set(recon.cameras))
+        if not unprocessed:
+            return 0
+        tri_cfg = TriangulationConfig(min_angle_deg=cfg.min_angle_deg,
+                                      max_reproj_px=cfg.relaxed_reproj_px)
+        total = 0
+        for anchor in anchors:
+            cam_a = recon.cameras[anchor]
+            K_a = jnp.asarray(cam_a.K.astype(np.float32))
+            obs_a = recon.observations_of_camera(anchor)
+            # scale prior: median anchor-frame depth of the existing cloud
+            pts_all = recon.points_array()
+            if len(pts_all) == 0:
+                continue
+            ref_ids = [p for p, _ in obs_a] or list(range(len(pts_all)))
+            X = pts_all[ref_ids]
+            depth_a = (cam_a.R @ X.T + cam_a.t[:, None])[2]
+            pos = depth_a[depth_a > 0]
+            if len(pos) == 0:
+                continue
+            target_depth = float(np.median(pos))
+            obs_uv_a = (np.stack([uv for _, uv in obs_a])
+                        if obs_a else np.zeros((0, 2)))
+            added_anchor = 0
+            for boot in unprocessed:
+                if added_anchor >= cfg.max_bootstrap_points_per_anchor:
+                    break
+                corr = lookup_pair(matches_data, anchor, boot)
+                if corr is None or len(corr) < 8:
+                    continue
+                a_xy, b_xy = corr[:, :2], corr[:, 2:]
+                if len(obs_uv_a):
+                    dist, _ = _min_dists(a_xy, obs_uv_a)
+                    fresh = dist > cfg.progressive_tolerance_px
+                else:
+                    fresh = np.ones(len(corr), bool)
+                if fresh.sum() < 8:
+                    continue
+                a_f = a_xy[fresh].astype(np.float32)
+                b_f = b_xy[fresh].astype(np.float32)
+                size_b = self._image_size(boot, image_info, b_f)
+                K_b = self.intrinsics.estimate(*size_b)
+                K_bj = jnp.asarray(K_b.astype(np.float32))
+                m = len(a_f)
+                cap = _bucket(m)
+                p1 = jnp.asarray(_pad2(a_f, cap))
+                p2 = jnp.asarray(_pad2(b_f, cap))
+                mask = jnp.asarray(np.arange(cap) < m)
+                eres = find_essential(
+                    p1, p2, K_a, K_bj, mask=mask,
+                    threshold_px=cfg.essential_threshold_px,
+                    method=cfg.essential_method,
+                    key=jax.random.PRNGKey(hash(boot) & 0x7FFFFFFF))
+                if not bool(eres.success) or int(eres.num_inliers) < 15:
+                    continue
+                R_rel, t_rel, _ = recover_pose(eres.E, p1, p2, K_a, K_bj,
+                                               mask=eres.inliers)
+                R_rel = np.asarray(R_rel, np.float64)
+                t_rel = np.asarray(t_rel, np.float64)
+                R_b = R_rel @ cam_a.R
+                t_b = R_rel @ cam_a.t + t_rel  # unit-norm baseline (s = 1)
+                tri = triangulate_two_view(
+                    p1, p2, K_a, K_bj,
+                    jnp.asarray(cam_a.R.astype(np.float32)),
+                    jnp.asarray(cam_a.t.astype(np.float32)),
+                    jnp.asarray(R_b.astype(np.float32)),
+                    jnp.asarray(t_b.astype(np.float32)),
+                    mask=eres.inliers, config=tri_cfg)
+                sel = np.where(np.asarray(tri.mask))[0]
+                if len(sel) == 0:
+                    continue
+                pts = np.asarray(tri.points, np.float64)[sel]
+                # resolve scale about the anchor center
+                depths = (cam_a.R @ pts.T + cam_a.t[:, None])[2]
+                med = float(np.median(depths))
+                if med <= 1e-9:
+                    continue
+                s = target_depth / med
+                C_a = cam_a.center
+                pts = C_a[None] + s * (pts - C_a[None])
+                budget = min(cfg.max_points_per_pair,
+                             cfg.max_bootstrap_points_per_anchor
+                             - added_anchor)
+                if len(sel) > budget:
+                    sel = sel[:budget]
+                    pts = pts[:budget]
+                ids = recon.add_points_batch(pts)
+                recon.add_observations_batch(anchor, ids, a_f[sel])
+                pend = self.pending_obs.setdefault(boot, [])
+                pend.extend(zip(ids, b_f[sel]))
+                added_anchor += len(sel)
+                total += len(sel)
+        return total
+
+    def _extend_tracks(self, recon: Reconstruction, matches_data: Dict,
+                       only_camera: Optional[str] = None) -> int:
+        """Track extension to unprocessed images (triangulation.py:795-855):
+        pre-link existing 3D points to not-yet-registered images via their
+        matches with registered cameras; consumed by _mine_2d3d at
+        registration time (feeds PnP directly)."""
+        from tpu3drec.sfm.correspondence import lookup_pair
+
+        cfg = self.config
+        all_images = {n for pair in matches_data for n in pair}
+        cams = [only_camera] if only_camera else list(recon.cameras)
+        count = 0
+        for boot in sorted(all_images - set(recon.cameras)):
+            pend = self.pending_obs.setdefault(boot, [])
+            have = {int(p) for p, _ in pend}
+            for cam_name in cams:
+                if cam_name not in recon.cameras:
+                    continue
+                corr = lookup_pair(matches_data, boot, cam_name)
+                if corr is None:
+                    continue
+                obs = recon.observations_of_camera(cam_name)
+                if not obs:
+                    continue
+                obs_uv = np.stack([uv for _, uv in obs])
+                obs_pid = np.array([p for p, _ in obs])
+                dist, j = _min_dists(corr[:, 2:], obs_uv)
+                hit = dist <= cfg.track_extension_tolerance_px
+                for i in np.where(hit)[0]:
+                    pid = int(obs_pid[j[i]])
+                    if pid in have:
+                        continue
+                    have.add(pid)
+                    pend.append((pid, corr[i, :2].copy()))
+                    count += 1
+        return count
 
     # ------------------------------------------------------------------
     def _run_ba(self, recon: Reconstruction,
