@@ -57,6 +57,17 @@ class BAConfig(NamedTuple):
     lambda_down: float = 0.5
     ftol: float = 1e-6
     optimize_intrinsics: bool = True
+    # reduced camera system solver: "dense" materializes W as a
+    # (P, C, 10, 3) block tensor (exact, fine for the incremental <=3-cam
+    # window); "cg" never materializes S — each matvec is O(M) segment
+    # sums (every camera observes a point at most once, so each W block
+    # is a single observation's Jc^T Jp), with a block-Jacobi
+    # preconditioner from the exact diagonal blocks. "auto" switches to
+    # cg above 32 cameras. This is what lets reference-scale global BA
+    # (50 cams / 100k pts / 500k obs) fit in HBM.
+    schur_solver: str = "auto"
+    cg_iters: int = 64
+    cg_tol: float = 1e-5
 
 
 class BAResult(NamedTuple):
@@ -144,6 +155,9 @@ def bundle_adjust(prob: BAProblem,
     P = prob.points.shape[0]
     M = prob.obs_uv.shape[0]
     delta = config.huber_delta
+    solver = config.schur_solver
+    if solver == "auto":
+        solver = "dense" if C <= 32 else "cg"
 
     pmask = prob.param_mask
     if not config.optimize_intrinsics:
@@ -186,30 +200,97 @@ def bundle_adjust(prob: BAProblem,
         Vinv = jnp.linalg.inv(
             Vd + 1e-9 * jnp.eye(3, dtype=Vd.dtype))               # (P,3,3)
 
-        # W blocks scattered dense over (P, C): fine while C is small
-        Wb = jnp.zeros((P, C, CAM_DIM, 3), Jc.dtype)
         Wm = jnp.einsum("mri,mrj->mij", Jc, Jp)                   # (M,10,3)
-        Wb = Wb.at[prob.obs_pt, prob.obs_cam].add(Wm)
+        Vinv_o = Vinv[prob.obs_pt]                                # (M,3,3)
 
-        # S = U_blockdiag - sum_k W_k V_k^-1 W_k^T  (reduced camera system)
-        WV = jnp.einsum("pcij,pjl->pcil", Wb, Vinv)               # (P,C,10,3)
-        S_cross = jnp.einsum("pail,pbml->abim", WV, Wb)           # (C,C,10,10)
-        S = -S_cross
-        S = S.at[jnp.arange(C), jnp.arange(C)].add(Ud)
-        S2 = S.transpose(0, 2, 1, 3).reshape(C * CAM_DIM, C * CAM_DIM)
+        if solver == "dense":
+            # W blocks scattered dense over (P, C): exact, fine while C
+            # is small (the incremental <=3-camera window)
+            Wb = jnp.zeros((P, C, CAM_DIM, 3), Jc.dtype)
+            Wb = Wb.at[prob.obs_pt, prob.obs_cam].add(Wm)
 
-        rhs_c = gc - jnp.einsum("pcij,pj->ci", WV, gp)            # (C,10)
-        rhs = rhs_c.reshape(-1)
+            # S = U_blockdiag - sum_k W_k V_k^-1 W_k^T
+            WV = jnp.einsum("pcij,pjl->pcil", Wb, Vinv)           # (P,C,10,3)
+            S_cross = jnp.einsum("pail,pbml->abim", WV, Wb)       # (C,C,10,10)
+            S = -S_cross
+            S = S.at[jnp.arange(C), jnp.arange(C)].add(Ud)
+            S2 = S.transpose(0, 2, 1, 3).reshape(C * CAM_DIM, C * CAM_DIM)
 
-        # frozen params: identity rows to keep S nonsingular
-        free = pmask.reshape(-1)
-        S2 = S2 * free[:, None] * free[None, :]
-        S2 = S2 + jnp.diag(jnp.where(free > 0, 0.0, 1.0))
-        rhs = rhs * free
+            rhs_c = gc - jnp.einsum("pcij,pj->ci", WV, gp)        # (C,10)
+            rhs = rhs_c.reshape(-1)
 
-        dc = jnp.linalg.solve(S2, rhs).reshape(C, CAM_DIM) * pmask
-        # back-substitute points
-        WTdc = jnp.einsum("pcij,ci->pj", Wb, dc)                  # (P,3)
+            # frozen params: identity rows to keep S nonsingular
+            free = pmask.reshape(-1)
+            S2 = S2 * free[:, None] * free[None, :]
+            S2 = S2 + jnp.diag(jnp.where(free > 0, 0.0, 1.0))
+            rhs = rhs * free
+
+            dc = jnp.linalg.solve(S2, rhs).reshape(C, CAM_DIM) * pmask
+        else:
+            # matrix-free Schur: S x computed with O(M) segment sums.
+            # Each camera observes each point at most once, so W_{p,c} is
+            # a single observation's 10x3 block and
+            #   (S x)_c = Ud_c x_c - sum_m W_m Vinv_{pt_m} z_{pt_m},
+            #   z_p = sum_{m in track p} W_m^T x_{cam_m}.
+            WVm = jnp.einsum("mij,mjl->mil", Wm, Vinv_o)          # (M,10,3)
+
+            def matvec(x):                                        # x: (C,10)
+                xo = x[prob.obs_cam]                              # (M,10)
+                z = jax.ops.segment_sum(
+                    jnp.einsum("mij,mi->mj", Wm, xo), prob.obs_pt, P)
+                back = jax.ops.segment_sum(
+                    jnp.einsum("mil,ml->mi", WVm, z[prob.obs_pt]),
+                    prob.obs_cam, C)                              # (C,10)
+                Sx = jnp.einsum("cij,cj->ci", Ud, x) - back
+                return Sx * pmask
+
+            rhs = (gc - jax.ops.segment_sum(
+                jnp.einsum("mil,ml->mi", WVm, gp[prob.obs_pt]),
+                prob.obs_cam, C)) * pmask                          # (C,10)
+
+            # block-Jacobi preconditioner from the EXACT diagonal blocks
+            # D_c = Ud_c - sum_{m: cam_m=c} W_m Vinv W_m^T
+            Dblk = Ud - jax.ops.segment_sum(
+                jnp.einsum("mil,mjl->mij", WVm, Wm), prob.obs_cam, C)
+            free_b = pmask[:, :, None] * pmask[:, None, :]
+            eye = jnp.eye(CAM_DIM, dtype=Dblk.dtype)
+            Dblk = Dblk * free_b + eye * (1.0 - pmask[:, :, None] * eye)
+            Minv = jnp.linalg.inv(Dblk + 1e-8 * eye)
+
+            def precond(v):
+                return jnp.einsum("cij,cj->ci", Minv, v) * pmask
+
+            # preconditioned CG, fixed max iterations, early-out on tol
+            bnorm = jnp.sqrt(jnp.sum(rhs * rhs)) + 1e-30
+
+            def cg_body(state):
+                x, rr, p_, rz, it = state
+                Ap = matvec(p_)
+                alpha = rz / jnp.maximum(jnp.sum(p_ * Ap), 1e-30)
+                x = x + alpha * p_
+                rr = rr - alpha * Ap
+                z = precond(rr)
+                rz_new = jnp.sum(rr * z)
+                beta = rz_new / jnp.maximum(rz, 1e-30)
+                p_ = z + beta * p_
+                return x, rr, p_, rz_new, it + 1
+
+            def cg_cond(state):
+                _, rr, _, _, it = state
+                return (it < config.cg_iters) & \
+                    (jnp.sqrt(jnp.sum(rr * rr)) > config.cg_tol * bnorm)
+
+            x0 = jnp.zeros_like(rhs)
+            z0 = precond(rhs)
+            dc, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body,
+                (x0, rhs, z0, jnp.sum(rhs * z0), jnp.int32(0)))
+            dc = dc * pmask
+
+        # back-substitute points: dp = Vinv (gp - W^T dc)
+        WTdc = jax.ops.segment_sum(
+            jnp.einsum("mij,mi->mj", Wm, dc[prob.obs_cam]),
+            prob.obs_pt, P)                                        # (P,3)
         dp = jnp.einsum("pij,pj->pi", Vinv, gp - WTdc) * ptmask[:, None]
         return dc, dp, r
 
