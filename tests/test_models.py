@@ -10,7 +10,8 @@ import pytest
 
 from tpu3drec.core.types import Features, ScoreType
 from tpu3drec.models.superpoint import SuperPoint, SuperPointNet, load_torch_weights
-from tpu3drec.models.lightglue import LightGlue, rotary_embed_2d, apply_rotary
+from tpu3drec.models.lightglue import (LightGlue, apply_rotary,
+                                       rotate_half, normalize_keypoints)
 from tpu3drec.core.registry import MatcherCompatibilityManager, MatcherFactory
 
 
@@ -57,15 +58,20 @@ def test_superpoint_weight_conversion_shapes():
 
 
 def test_rotary_embedding_preserves_norm():
-    xy = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (10, 2))
-                     .astype(np.float32))
-    ang = rotary_embed_2d(xy, 64)
-    x = jnp.asarray(np.random.default_rng(1).normal(size=(10, 64))
-                    .astype(np.float32))
-    rot = apply_rotary(x, ang)
-    np.testing.assert_allclose(np.linalg.norm(np.asarray(rot), axis=1),
-                               np.linalg.norm(np.asarray(x), axis=1),
-                               rtol=1e-4)
+    rng = np.random.default_rng(0)
+    proj = jnp.asarray(rng.uniform(-3, 3, (10, 8)).astype(np.float32))
+    cos_i = jnp.repeat(jnp.cos(proj), 2, axis=-1)   # (10, 16)
+    sin_i = jnp.repeat(jnp.sin(proj), 2, axis=-1)
+    x = jnp.asarray(rng.normal(size=(10, 4, 16)).astype(np.float32))
+    rot = apply_rotary(x, cos_i, sin_i)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rot), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-4)
+    # keypoint normalization: cvg convention (shift size/2, scale max/2)
+    xy = jnp.asarray([[640.0, 480.0], [320.0, 240.0]])
+    n = np.asarray(normalize_keypoints(xy, 480, 640))
+    np.testing.assert_allclose(n[1], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(n[0], [1.0, 0.75], atol=1e-6)
 
 
 def make_feats(n, d=64, seed=0, shape=(120, 160)):

@@ -1,26 +1,40 @@
-"""LightGlue attention matcher in Flax/XLA.
+"""LightGlue attention matcher in Flax/XLA, weight-compatible with the
+published checkpoints.
 
 TPU-native replacement for the reference's torch LightGlue matcher
-(feature_matchers.py:255-549). Architecture follows the LightGlue paper
-(arXiv 2306.13643, listed in PAPERS.md): descriptors are projected to a
-common width, then N transformer layers alternate self-attention (with 2-D
-rotary positional encoding of the normalized keypoint locations) and
-bidirectional cross-attention; a final matchability head (sigma) and a
-similarity head feed the double-softmax log-assignment with matchability
-gating. The adaptive depth/width pruning of the paper is intentionally
-dropped: on TPU, static shapes + full-depth execution compile to one fused
-program that is faster than data-dependent early exits.
+(feature_matchers.py:255-549). The computation mirrors the released
+LightGlue architecture (arXiv 2306.13643; cvg/LightGlue) layer for layer
+so `load_torch_weights` can convert its checkpoints directly:
 
-Pretrained weights cannot be fetched in this environment; the module runs
-with random init for functional tests and provides the same assignment
-semantics (mutual argmax + threshold) the reference filters on
-(feature_matchers.py:434-540).
+  input_proj          Linear(input_dim -> d)
+  posenc              learnable Fourier PE: Wr Linear(2 -> head_dim/2,
+                      no bias); rotary application with interleaved
+                      cos/sin pairs (rotate-half convention)
+  transformers[i]     SelfBlock:  Wqkv (packed, (dh, h, 3) output
+                      factorization), sdp attention with rotary q/k,
+                      out_proj, ffn = [Linear(2d->2d), LayerNorm, GELU
+                      (exact), Linear(2d->d)] applied to concat(x, msg)
+                      CrossBlock: shared to_qk for both views, to_v,
+                      to_out, same ffn shape; bidirectional attention
+  log_assignment[-1]  final_proj (d->d, /d^0.25 each side) similarity +
+                      matchability logits; double log-softmax +
+                      logsigmoid gating (paper eq. 8)
+
+The adaptive depth/width pruning of the paper is intentionally dropped:
+on TPU, static shapes + full-depth execution compile to one fused
+program that beats data-dependent early exits. Padded keypoints are
+masked out of both softmaxes.
+
+Pretrained weights cannot be fetched in this zero-egress environment;
+`load_torch_weights` converts a torch state dict once it is available
+(tests/test_lightglue_parity.py proves numerical parity against a torch
+mirror of the published blocks with shared random weights).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,74 +44,123 @@ from flax import linen as nn
 from tpu3drec.core.types import Features, Matches, ScoreType
 
 
-def rotary_embed_2d(xy_norm: jnp.ndarray, dim: int) -> jnp.ndarray:
-    """(N, 2) normalized coords -> (N, dim/2) angles for 2-D rotary PE."""
-    n_freq = dim // 4
-    freqs = jnp.exp(jnp.linspace(0.0, np.log(32.0), n_freq))
-    ang_x = xy_norm[:, 0:1] * freqs[None]   # (N, F)
-    ang_y = xy_norm[:, 1:2] * freqs[None]
-    return jnp.concatenate([ang_x, ang_y], axis=1)  # (N, dim/2)
+def normalize_keypoints(xy: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """cvg/LightGlue normalize_keypoints: shift by size/2, scale by
+    max(size)/2."""
+    shift = jnp.asarray([w / 2.0, h / 2.0], jnp.float32)
+    scale = max(h, w) / 2.0
+    return (xy - shift) / scale
 
 
-def apply_rotary(x: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """Rotate feature pairs by position-dependent angles. x: (N, D)."""
-    n, d = x.shape
-    x2 = x.reshape(n, d // 2, 2)
-    c = jnp.cos(angles)[..., None]
-    s = jnp.sin(angles)[..., None]
-    rot = jnp.concatenate([
-        x2[..., :1] * c - x2[..., 1:] * s,
-        x2[..., :1] * s + x2[..., 1:] * c,
-    ], axis=-1)
-    return rot.reshape(n, d)
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2k) -> pairs (x0, x1) -> (-x1, x0), interleaved layout."""
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    a, b = x2[..., 0], x2[..., 1]
+    return jnp.stack([-b, a], axis=-1).reshape(x.shape)
 
 
-class Attention(nn.Module):
-    dim: int
-    heads: int = 4
+def apply_rotary(t: jnp.ndarray, cos_i: jnp.ndarray,
+                 sin_i: jnp.ndarray) -> jnp.ndarray:
+    """t: (N, h, dh); cos_i/sin_i: (N, dh) interleaved [c0,c0,c1,c1,...]."""
+    return t * cos_i[:, None, :] + rotate_half(t) * sin_i[:, None, :]
+
+
+class FourierPE(nn.Module):
+    """LearnableFourierPositionalEncoding(M=2, dim=head_dim): returns the
+    interleaved (cos, sin) tables shared by every head."""
+    head_dim: int
 
     @nn.compact
-    def __call__(self, q_feats, kv_feats, q_angles=None, kv_angles=None):
-        hd = self.dim // self.heads
-        q = nn.Dense(self.dim, name="q")(q_feats)
-        k = nn.Dense(self.dim, name="k")(kv_feats)
-        v = nn.Dense(self.dim, name="v")(kv_feats)
-        if q_angles is not None:
-            # rotary_embed_2d yields dim/2 angles = one per feature pair
-            q = apply_rotary(q, q_angles)
-            k = apply_rotary(k, kv_angles)
-        q = q.reshape(-1, self.heads, hd)
-        k = k.reshape(-1, self.heads, hd)
-        v = v.reshape(-1, self.heads, hd)
-        att = jnp.einsum("nhd,mhd->hnm", q, k) / np.sqrt(hd)
+    def __call__(self, xy_norm):
+        proj = nn.Dense(self.head_dim // 2, use_bias=False,
+                        name="Wr")(xy_norm)              # (N, dh/2)
+        cos = jnp.cos(proj)
+        sin = jnp.sin(proj)
+        # repeat_interleave(2): [c0, c0, c1, c1, ...]
+        cos_i = jnp.repeat(cos, 2, axis=-1)
+        sin_i = jnp.repeat(sin, 2, axis=-1)
+        return cos_i, sin_i
+
+
+class SelfBlock(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, cos_i, sin_i, mask):
+        n = x.shape[0]
+        h = self.heads
+        dh = self.dim // h
+        qkv = nn.Dense(3 * self.dim, name="Wqkv")(x)
+        # torch: unflatten(-1, (dh, h, 3)) then transpose -> (3, h, dh)
+        qkv = qkv.reshape(n, dh, h, 3)
+        q = jnp.transpose(qkv[..., 0], (0, 2, 1))        # (N, h, dh)
+        k = jnp.transpose(qkv[..., 1], (0, 2, 1))
+        v = jnp.transpose(qkv[..., 2], (0, 2, 1))
+        q = apply_rotary(q, cos_i, sin_i)
+        k = apply_rotary(k, cos_i, sin_i)
+        att = jnp.einsum("nhd,mhd->hnm", q, k) / np.sqrt(dh)
+        att = jnp.where(mask[None, None, :], att, -1e9)
         att = jax.nn.softmax(att, axis=-1)
-        out = jnp.einsum("hnm,mhd->nhd", att, v).reshape(-1, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        ctx = jnp.einsum("hnm,mhd->nhd", att, v).reshape(n, self.dim)
+        msg = nn.Dense(self.dim, name="out_proj")(ctx)
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(2 * self.dim, name="ffn_0")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="ffn_1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="ffn_3")(y)
+        return x + y
+
+
+class CrossBlock(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x0, x1, mask0, mask1):
+        h = self.heads
+        dh = self.dim // h
+        scale = dh ** -0.25
+        to_qk = nn.Dense(self.dim, name="to_qk")
+        to_v = nn.Dense(self.dim, name="to_v")
+        to_out = nn.Dense(self.dim, name="to_out")
+        qk0 = to_qk(x0).reshape(-1, h, dh) * scale
+        qk1 = to_qk(x1).reshape(-1, h, dh) * scale
+        v0 = to_v(x0).reshape(-1, h, dh)
+        v1 = to_v(x1).reshape(-1, h, dh)
+        sim = jnp.einsum("nhd,mhd->hnm", qk0, qk1)       # (h, N0, N1)
+        sim01 = jnp.where(mask1[None, None, :], sim, -1e9)
+        sim10 = jnp.where(mask0[None, :, None], sim, -1e9)
+        att01 = jax.nn.softmax(sim01, axis=-1)
+        att10 = jax.nn.softmax(sim10, axis=1)
+        m0 = jnp.einsum("hnm,mhd->nhd", att01, v1).reshape(-1, self.dim)
+        m1 = jnp.einsum("hnm,nhd->mhd", att10, v0).reshape(-1, self.dim)
+        m0 = to_out(m0)
+        m1 = to_out(m1)
+
+        ffn_0 = nn.Dense(2 * self.dim, name="ffn_0")
+        ffn_1 = nn.LayerNorm(epsilon=1e-5, name="ffn_1")
+        ffn_3 = nn.Dense(self.dim, name="ffn_3")
+
+        def ffn(x, m):
+            y = jnp.concatenate([x, m], axis=-1)
+            y = ffn_3(jax.nn.gelu(ffn_1(ffn_0(y)), approximate=False))
+            return x + y
+
+        return ffn(x0, m0), ffn(x1, m1)
 
 
 class GlueLayer(nn.Module):
     dim: int
-    heads: int = 4
+    heads: int
 
     @nn.compact
-    def __call__(self, d0, d1, ang0, ang1):
-        # self attention (rotary PE)
-        s = Attention(self.dim, self.heads, name="self_attn")
-        d0 = d0 + s(d0, d0, ang0, ang0)
-        d1 = d1 + s(d1, d1, ang1, ang1)
-        m0 = nn.Sequential([nn.Dense(2 * self.dim), nn.gelu,
-                            nn.Dense(self.dim)])
-        d0 = d0 + m0(nn.LayerNorm()(d0))
-        d1 = d1 + m0(nn.LayerNorm()(d1))
-        # cross attention (no PE — positions are view-specific)
-        c = Attention(self.dim, self.heads, name="cross_attn")
-        d0n, d1n = d0, d1
-        d0 = d0 + c(d0n, d1n)
-        d1 = d1 + c(d1n, d0n)
-        m1 = nn.Sequential([nn.Dense(2 * self.dim), nn.gelu,
-                            nn.Dense(self.dim)])
-        d0 = d0 + m1(nn.LayerNorm()(d0))
-        d1 = d1 + m1(nn.LayerNorm()(d1))
+    def __call__(self, d0, d1, pe0, pe1, mask0, mask1):
+        sa = SelfBlock(self.dim, self.heads, name="self_attn")
+        d0 = sa(d0, pe0[0], pe0[1], mask0)
+        d1 = sa(d1, pe1[0], pe1[1], mask1)
+        d0, d1 = CrossBlock(self.dim, self.heads, name="cross_attn")(
+            d0, d1, mask0, mask1)
         return d0, d1
 
 
@@ -108,41 +171,43 @@ class LightGlueNet(nn.Module):
 
     @nn.compact
     def __call__(self, desc0, desc1, xy0, xy1, mask0, mask1):
-        """Returns (log_assignment (N+1, M+1), sim, sigma0, sigma1)."""
-        in_proj = nn.Dense(self.dim, name="input_proj")  # shared across views
+        """xy*: normalized keypoints. Returns (log_assign (N, M), sim,
+        z0, z1) — matchability logits, gating already applied."""
+        in_proj = nn.Dense(self.dim, name="input_proj")
         d0 = in_proj(desc0)
         d1 = in_proj(desc1)
-        ang0 = rotary_embed_2d(xy0, self.dim)
-        ang1 = rotary_embed_2d(xy1, self.dim)
+        pe = FourierPE(self.dim // self.heads, name="posenc")
+        pe0 = pe(xy0)
+        pe1 = pe(xy1)
         for i in range(self.n_layers):
-            d0, d1 = GlueLayer(self.dim, self.heads, name=f"layer{i}")(
-                d0, d1, ang0, ang1)
-        # heads
-        final = nn.Dense(self.dim, name="final_proj")  # shared across views
-        f0 = final(d0)
-        f1 = final(d1)
-        sim = jnp.einsum("nd,md->nm", f0, f1) / np.sqrt(self.dim)
-        sigma0 = jax.nn.sigmoid(nn.Dense(1, name="match0")(d0))[:, 0]
-        sigma1 = jax.nn.sigmoid(nn.Dense(1, name="match1")(d1))[:, 0]
-        # mask padded rows out of the softmaxes
+            d0, d1 = GlueLayer(self.dim, self.heads,
+                               name=f"transformers_{i}")(
+                d0, d1, pe0, pe1, mask0, mask1)
+        # final MatchAssignment head (log_assignment[-1] in the torch tree)
+        fp = nn.Dense(self.dim, name="final_proj")
+        f0 = fp(d0) / self.dim ** 0.25
+        f1 = fp(d1) / self.dim ** 0.25
+        sim = jnp.einsum("nd,md->nm", f0, f1)
+        matchability = nn.Dense(1, name="matchability")
+        z0 = matchability(d0)[:, 0]
+        z1 = matchability(d1)[:, 0]
         neg = jnp.float32(-1e9)
         sim = jnp.where(mask0[:, None], sim, neg)
         sim = jnp.where(mask1[None, :], sim, neg)
-        # double-softmax log assignment with matchability (LightGlue eq. 8)
         log_a0 = jax.nn.log_softmax(sim, axis=1)
         log_a1 = jax.nn.log_softmax(sim, axis=0)
         log_assign = (log_a0 + log_a1
-                      + jnp.log(jnp.maximum(sigma0, 1e-9))[:, None]
-                      + jnp.log(jnp.maximum(sigma1, 1e-9))[None, :])
-        return log_assign, sim, sigma0, sigma1
+                      + jax.nn.log_sigmoid(z0)[:, None]
+                      + jax.nn.log_sigmoid(z1)[None, :])
+        return log_assign, sim, z0, z1
 
 
 class LightGlue:
     """Inference wrapper producing Matches with CONFIDENCE scores."""
 
     def __init__(self, params: Optional[Dict] = None, dim: int = 256,
-                 n_layers: int = 9, input_dim: int = 256):
-        self.net = LightGlueNet(dim=dim, n_layers=n_layers)
+                 n_layers: int = 9, heads: int = 4, input_dim: int = 256):
+        self.net = LightGlueNet(dim=dim, n_layers=n_layers, heads=heads)
         self.params = params
         self.input_dim = input_dim
 
@@ -163,12 +228,12 @@ class LightGlue:
         if self.params is None:
             raise RuntimeError("LightGlue weights not loaded; call "
                                "init_random() for testing")
+
         def norm_xy(f):
             h, w = (f.image_shape or (480, 640))[:2]
-            scale = max(h, w)
-            return (f.xy - jnp.asarray([w / 2, h / 2])) / scale
+            return normalize_keypoints(f.xy, h, w)
 
-        log_assign, sim, s0, s1 = self._forward(
+        log_assign, sim, z0, z1 = self._forward(
             self.params, feats0.desc, feats1.desc,
             norm_xy(feats0), norm_xy(feats1), feats0.mask, feats1.mask)
         p = jnp.exp(log_assign)
@@ -190,6 +255,63 @@ class LightGlue:
         )
 
 
+# -- torch checkpoint conversion ---------------------------------------
+
+def _dense(sd: Dict[str, Any], tname: str, bias: bool = True) -> Dict:
+    w = np.asarray(sd[f"{tname}.weight"], np.float32)
+    out = {"kernel": jnp.asarray(w.T)}
+    if bias:
+        out["bias"] = jnp.asarray(np.asarray(sd[f"{tname}.bias"], np.float32))
+    return out
+
+
+def _layernorm(sd: Dict[str, Any], tname: str) -> Dict:
+    return {"scale": jnp.asarray(np.asarray(sd[f"{tname}.weight"], np.float32)),
+            "bias": jnp.asarray(np.asarray(sd[f"{tname}.bias"], np.float32))}
+
+
+def load_torch_weights(state_dict: Dict[str, Any],
+                       n_layers: int = 9) -> Dict:
+    """Convert a cvg/LightGlue torch state dict to this net's params.
+
+    Accepts both bare names ('input_proj.weight') and the repo's
+    'matcher.'-prefixed names. The per-layer log_assignment /
+    token_confidence heads used for early exit are dropped; only the
+    final assignment head (log_assignment.{n-1}) is kept.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[8:] if k.startswith("matcher.") else k] = v
+
+    params: Dict[str, Any] = {
+        "input_proj": _dense(sd, "input_proj"),
+        "posenc": {"Wr": _dense(sd, "posenc.Wr", bias=False)},
+        "final_proj": _dense(sd, f"log_assignment.{n_layers - 1}.final_proj"),
+        "matchability": _dense(
+            sd, f"log_assignment.{n_layers - 1}.matchability"),
+    }
+    for i in range(n_layers):
+        t = f"transformers.{i}"
+        params[f"transformers_{i}"] = {
+            "self_attn": {
+                "Wqkv": _dense(sd, f"{t}.self_attn.Wqkv"),
+                "out_proj": _dense(sd, f"{t}.self_attn.out_proj"),
+                "ffn_0": _dense(sd, f"{t}.self_attn.ffn.0"),
+                "ffn_1": _layernorm(sd, f"{t}.self_attn.ffn.1"),
+                "ffn_3": _dense(sd, f"{t}.self_attn.ffn.3"),
+            },
+            "cross_attn": {
+                "to_qk": _dense(sd, f"{t}.cross_attn.to_qk"),
+                "to_v": _dense(sd, f"{t}.cross_attn.to_v"),
+                "to_out": _dense(sd, f"{t}.cross_attn.to_out"),
+                "ffn_0": _dense(sd, f"{t}.cross_attn.ffn.0"),
+                "ffn_1": _layernorm(sd, f"{t}.cross_attn.ffn.1"),
+                "ffn_3": _dense(sd, f"{t}.cross_attn.ffn.3"),
+            },
+        }
+    return {"params": params}
+
+
 _LG_CACHE: Dict[int, LightGlue] = {}
 
 
@@ -208,3 +330,18 @@ def match_features_lightglue(feats0: Features, feats1: Features,
             raise ImportError("lightglue weights not available")
         _LG_CACHE[input_dim] = lg
     return _LG_CACHE[input_dim].match(feats0, feats1, filter_threshold)
+
+
+def convert_torch_checkpoint(path_in, path_out=None) -> Dict:
+    """CLI helper: torch .pth -> converted npz in the weights dir."""
+    import torch
+    from tpu3drec.models import WEIGHTS_DIR
+    sd = torch.load(path_in, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    params = load_torch_weights({k: v.numpy() for k, v in sd.items()})
+    out = path_out or (WEIGHTS_DIR / "lightglue.npz")
+    WEIGHTS_DIR.mkdir(parents=True, exist_ok=True)
+    np.savez(out, params=np.asarray(
+        jax.tree.map(np.asarray, params["params"]), dtype=object))
+    return params

@@ -97,16 +97,32 @@ class FeatureProcessingPipeline:
 
                 matcher = (self.config.get("matcher_config") or {}).get(
                     method, "auto")
-                if matcher in ("auto", "lightglue"):
-                    # lightglue matcher arrives with the deep stack; fall
-                    # back to the auto choice for its descriptors
-                    matcher = auto_select_matcher(f1)
                 mp = dict(MATCHER_SPECIFIC_CONFIGS.get(matcher, {}))
                 mp.update((self.config.get("matcher_params") or {}).get(
                     method, {}))
-                m = match_features(
-                    f1, f2, ratio=mp.get("ratio_threshold", 0.75),
-                    cross_check=mp.get("cross_check", False), method=method)
+                if matcher == "lightglue":
+                    # end-to-end LightGlue attention matching when the
+                    # converted weights exist (feature_matchers.py:434-540);
+                    # registry falls back to kNN otherwise
+                    from tpu3drec.models.lightglue import (
+                        match_features_lightglue)
+                    try:
+                        m = match_features_lightglue(
+                            f1, f2, filter_threshold=mp.get(
+                                "filter_threshold", 0.1))
+                    except ImportError:
+                        m = match_features(
+                            f1, f2,
+                            ratio=mp.get("ratio_threshold", 0.75),
+                            cross_check=mp.get("cross_check", False),
+                            method=method)
+                else:
+                    if matcher == "auto":
+                        matcher = auto_select_matcher(f1)
+                    m = match_features(
+                        f1, f2, ratio=mp.get("ratio_threshold", 0.75),
+                        cross_check=mp.get("cross_check", False),
+                        method=method)
                 m.mask.block_until_ready()
                 t2 = time.perf_counter()
 
