@@ -1,0 +1,107 @@
+"""Parity tests for the Pallas window-DMA orientation+descriptor kernel
+(ops/pallas_sample.py) — interpret mode on CPU vs the NumPy oracle, plus
+integrated-detector agreement between the xla and pallas samplers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu3drec.ops.pallas_sample import (
+    oracle_ori_desc, ori_desc_windows, prep_meta, pad_dims,
+)
+from tpu3drec.ops.sift import detect_and_compute
+
+
+def _grad_stacks(S, H, W, seed=0):
+    rng = np.random.default_rng(seed)
+    Hp, Wp = pad_dims(H, W)
+    dx = np.zeros((S, Hp, Wp), np.float32)
+    dy = np.zeros((S, Hp, Wp), np.float32)
+    dx[:, :H, :W] = rng.standard_normal((S, H, W)).astype(np.float32) * 0.1
+    dy[:, :H, :W] = rng.standard_normal((S, H, W)).astype(np.float32) * 0.1
+    return dx, dy, Hp, Wp
+
+
+def test_kernel_matches_oracle():
+    S, H, W = 6, 120, 160
+    dx, dy, Hp, Wp = _grad_stacks(S, H, W)
+    # bf16-round so the oracle sees exactly what the kernel reads
+    dxb = np.asarray(jnp.asarray(dx, jnp.bfloat16).astype(jnp.float32))
+    dyb = np.asarray(jnp.asarray(dy, jnp.bfloat16).astype(jnp.float32))
+
+    rng = np.random.default_rng(1)
+    K = 6
+    xs = rng.uniform(55, W - 55, K).astype(np.float32)
+    ys = rng.uniform(55, H - 55, K).astype(np.float32)
+    layer = rng.integers(1, 4, K).astype(np.int32)
+    scl = rng.uniform(1.6, 3.5, K).astype(np.float32)
+    keep = np.ones(K, bool)
+    keep[4] = False
+
+    imeta, fmeta = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
+                             jnp.asarray(layer), jnp.asarray(scl),
+                             jnp.asarray(keep), Hp, Wp, H, W)
+    angle, desc = jax.jit(ori_desc_windows)(
+        jnp.asarray(dx, jnp.bfloat16), jnp.asarray(dy, jnp.bfloat16),
+        imeta, fmeta)
+    angle, desc = np.asarray(angle), np.asarray(desc)
+
+    for k in range(K):
+        if not keep[k]:
+            assert angle[k] == 0 and np.all(desc[k] == 0)
+            continue
+        a_ref, d_ref = oracle_ori_desc(dxb[layer[k]], dyb[layer[k]],
+                                       xs[k], ys[k], scl[k], hp=Hp)
+        da = abs(a_ref - angle[k])
+        da = min(da, 2 * np.pi - da)
+        cos = desc[k] @ d_ref / max(
+            np.linalg.norm(desc[k]) * np.linalg.norm(d_ref), 1e-9)
+        assert da < 1e-3, (k, da)
+        assert cos > 0.9999, (k, cos)
+
+
+def test_kernel_vmap_batches_via_flattening():
+    S, H, W = 4, 96, 128
+    dx, dy, Hp, Wp = _grad_stacks(S, H, W, seed=2)
+    rng = np.random.default_rng(3)
+    B, K = 2, 4
+    xs = rng.uniform(50, W - 50, (B, K)).astype(np.float32)
+    ys = rng.uniform(45, H - 45, (B, K)).astype(np.float32)
+    layer = rng.integers(1, 4, (B, K)).astype(np.int32)
+    scl = rng.uniform(1.6, 3.0, (B, K)).astype(np.float32)
+    keep = np.ones((B, K), bool)
+
+    dxs = jnp.asarray(np.stack([dx, dx[::-1]]), jnp.bfloat16)
+    dys = jnp.asarray(np.stack([dy, dy[::-1]]), jnp.bfloat16)
+    metas = [prep_meta(jnp.asarray(xs[b]), jnp.asarray(ys[b]),
+                       jnp.asarray(layer[b]), jnp.asarray(scl[b]),
+                       jnp.asarray(keep[b]), Hp, Wp, H, W)
+             for b in range(B)]
+    imeta = jnp.stack([m[0] for m in metas])
+    fmeta = jnp.stack([m[1] for m in metas])
+
+    a_b, d_b = jax.jit(jax.vmap(ori_desc_windows))(dxs, dys, imeta, fmeta)
+    for b in range(B):
+        a1, d1 = ori_desc_windows(dxs[b], dys[b], imeta[b], fmeta[b])
+        np.testing.assert_allclose(np.asarray(a_b[b]), np.asarray(a1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d_b[b]), np.asarray(d1),
+                                   atol=1e-3)
+
+
+def test_integrated_pallas_sampler_agrees_with_xla(test_image):
+    img = jnp.asarray(test_image)
+    out_x = detect_and_compute(img, max_features=256, sampler="xla")
+    out_p = detect_and_compute(img, max_features=256, sampler="pallas")
+    mx, mp = np.asarray(out_x[5]), np.asarray(out_p[5])
+    # identical detection; only angle/descriptor differ (dense vs grid)
+    assert mx.sum() == mp.sum()
+    both = mx & mp
+    np.testing.assert_allclose(np.asarray(out_x[0])[both],
+                               np.asarray(out_p[0])[both])
+    dx_, dp_ = np.asarray(out_x[4])[both], np.asarray(out_p[4])[both]
+    cos = (dx_ * dp_).sum(1) / np.maximum(
+        np.linalg.norm(dx_, axis=1) * np.linalg.norm(dp_, axis=1), 1e-9)
+    assert np.median(cos) > 0.97, float(np.median(cos))
+    assert (cos > 0.8).mean() > 0.9, float((cos > 0.8).mean())

@@ -1,0 +1,533 @@
+"""Pallas window-DMA orientation+descriptor kernel for SIFT.
+
+The XLA sampling path (ops/sift.py:_sample_gradients) is bound by gather
+element throughput (~150M elements/s on v5e): at 2K keypoints it fetches
+~4.5M elements per image (~30 ms) for the orientation and descriptor
+stages. This kernel replaces every gather with one window DMA per
+keypoint, computing both stages densely over the window pixels — which is
+OpenCV's own formulation (calcOrientationHist / calcSIFTDescriptor
+iterate window *pixels*, not sample points; reference behavior:
+traditional_detectors.py:16-52 via cv2.SIFT).
+
+Design (hardware constraints shape everything — see CLAUDE.md):
+  - HBM DMA slices must be tile-aligned: window origins are quantized
+    to (8, 128) multiples and the DMA'd (96, 256) window is re-centred
+    on the keypoint with an 8-aligned dynamic row slice + dynamic lane
+    roll (f32 — rotate has no bf16 lowering), yielding an (88, 128)
+    core with the keypoint at rows [40, 48), lane 64. Margins cover the
+    max descriptor radius 10.6*scl at scl<=3.6 (+-39 px).
+  - orientation: 36-bin histogram over a keypoint-centred 56-row band
+    (its own aligned window read — a static core slice would miss
+    edge-clipped keypoints); smoothing/argmax/parabola run as unrolled
+    scalar chains.
+  - descriptor: per-pixel orientation tents split the window into 8
+    channels; each channel is 4x4 box-downsampled with two small MXU
+    matmuls (iota-built 0/1 matrices); the 8 coarse (22, 32) channel
+    grids are lane-packed into one (22, 256) tile so each of the 16
+    spatial bins needs one elementwise product + one MXU segment matmul
+    instead of 8 full-tile reductions.
+  - per-keypoint scalars ride in FLAT 1-D SMEM prefetch arrays (2-D SMEM
+    operands pad every row to 128 lanes and blow the 1 MB SMEM budget).
+  - masked (invalid) keypoints skip DMA and compute entirely.
+  - no atan2/atan lowering in Mosaic: minimax-polynomial atan2.
+  - descriptor normalization and (rc, o) flattening run OUTSIDE the
+    kernel in XLA (cheap, vectorized over keypoints).
+
+Semantics track ops/sift.py's XLA path (same constants, histogram
+smoothing, trilinear binning, normalization); the 12x12/9x9 sample grids
+become the dense pixel formulation with 4x4 box prefilter.
+`oracle_ori_desc` is the NumPy mirror used by the parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu3drec.ops.sift import (
+    ORI_BINS, ORI_SIG_FCTR, ORI_RADIUS_FCTR,
+    DESC_D, DESC_B, DESC_SCL_FCTR, DESC_MAG_THR,
+)
+
+WIN_H = 96     # DMA window rows (multiple of 8)
+WIN_W = 256    # DMA window lanes (multiple of 128)
+# VMEM dynamic row reads must start at multiples of 8, so the core/band
+# row offsets are 8-quantized and the keypoint lands at core row
+# [40, 48) / band row [28, 36); heights leave >=40 / >=20 px margins,
+# covering the max descriptor radius 10.6*scl (+-39 px at scl<=3.6) and
+# orientation radius 4.5*scl (+-17 px)
+CORE_H = 88    # compute core rows
+CORE_W = 128   # compute core lanes; keypoint always at lane 64
+ORI_R0 = 12    # oracle-side band offset (keypoint at oracle core row 40)
+ORI_H = 56     # band height (multiple of 8)
+CELL = 4       # box-downsample factor for the descriptor grid
+CH, CW = CORE_H // CELL, CORE_W // CELL  # coarse grid (22, 32)
+
+
+def _atan2_poly(y, x, np_=jnp):
+    """atan2 via odd minimax polynomial (no Mosaic atan lowering); max
+    error ~1.4e-5 rad, far below the 10 deg orientation bin width."""
+    ax = np_.abs(x)
+    ay = np_.abs(y)
+    den = np_.maximum(np_.maximum(ax, ay), 1e-30)
+    z = np_.minimum(ax, ay) / den
+    z2 = z * z
+    r = z * (0.99997726 + z2 * (-0.33262347 + z2 * (0.19354346
+             + z2 * (-0.11643287 + z2 * (0.05265332 + z2 * -0.01172120)))))
+    r = np_.where(ay > ax, 0.5 * math.pi - r, r)
+    r = np_.where(x < 0, math.pi - r, r)
+    return np_.where(y < 0, -r, r)
+
+
+# ---------------------------------------------------------------------
+# NumPy oracle (defines the math; the kernel mirrors it step for step)
+# ---------------------------------------------------------------------
+
+def _row_starts(ryi: int, hp: int):
+    """Kernel-identical 8-quantized window/core/band row starts."""
+    y0 = min(max(((ryi - 44) // 8) * 8, 0), hp - WIN_H)
+    yoff = ryi - y0
+    row0 = min(max(((yoff - 40) // 8) * 8, 0), WIN_H - CORE_H)
+    row0b = min(max(((yoff - ORI_H // 2) // 8) * 8, 0), WIN_H - ORI_H)
+    return y0 + row0, y0 + row0b
+
+
+def _window(img: np.ndarray, xs0: int, ys0: int, rows: int):
+    """(rows, 128) slab, zero-padded outside the image."""
+    h, w = img.shape
+    out = np.zeros((rows, CORE_W), np.float32)
+    for i in range(rows):
+        yy = ys0 + i
+        if 0 <= yy < h:
+            xlo, xhi = max(0, xs0), min(w, xs0 + CORE_W)
+            if xlo < xhi:
+                out[i, xlo - xs0:xhi - xs0] = img[yy, xlo:xhi]
+    return out
+
+
+def oracle_ori_desc(dx_img: np.ndarray, dy_img: np.ndarray,
+                    x: float, y: float, scl: float,
+                    hp: int = 1 << 20):
+    """Dense orientation + descriptor for ONE keypoint from full-res
+    (H, W) f32 gradient images. Returns (angle, desc[128]). `hp` is the
+    padded stack height (affects edge-clipped row quantization only)."""
+    rxi, ryi = int(round(x)), int(round(y))
+    ys0, _ = _row_starts(ryi, hp)
+    xs0 = rxi - 64
+    dx = _window(dx_img, xs0, ys0, CORE_H)
+    dy = _window(dy_img, xs0, ys0, CORE_H)
+
+    ii, jj = np.mgrid[0:CORE_H, 0:CORE_W].astype(np.float32)
+    rx = (xs0 + jj) - x
+    ry = (ys0 + ii) - y
+    mag = np.sqrt(dx * dx + dy * dy)
+    theta = _atan2_poly(dy, dx, np_=np)
+
+    # --- orientation histogram over the keypoint-centred band
+    b0r = _row_starts(ryi, hp)[1] - ys0
+    band = slice(b0r, b0r + ORI_H)
+    u = rx[band] / scl
+    v = ry[band] / scl
+    m = (np.abs(u) <= ORI_RADIUS_FCTR) & (np.abs(v) <= ORI_RADIUS_FCTR)
+    wgt = np.exp(-(u * u + v * v) / (2.0 * ORI_SIG_FCTR ** 2)) * m
+    binf = (theta[band] / (2 * np.pi) + 0.5) * ORI_BINS
+    b0 = np.floor(binf)
+    frac = binf - b0
+    b0 = b0.astype(np.int64) % ORI_BINS
+    w_all = mag[band] * wgt
+    hist = np.zeros(ORI_BINS, np.float32)
+    np.add.at(hist, b0, w_all * (1 - frac))
+    np.add.at(hist, (b0 + 1) % ORI_BINS, w_all * frac)
+
+    def smooth(hh):
+        return (6 * hh + 4 * (np.roll(hh, 1) + np.roll(hh, -1))
+                + (np.roll(hh, 2) + np.roll(hh, -2))) / 16.0
+
+    hist = smooth(smooth(hist))
+    pk = int(np.argmax(hist))
+    hl, hc, hr = hist[(pk - 1) % ORI_BINS], hist[pk], hist[(pk + 1) % ORI_BINS]
+    denom = hl - 2 * hc + hr
+    dbin = 0.5 * (hl - hr) / denom if abs(denom) > 1e-12 else 0.0
+    angle = (((pk + dbin) % ORI_BINS) / ORI_BINS - 0.5) * 2 * np.pi
+
+    # --- descriptor: 8 orientation channels, 4x4 box cells, tent binning
+    ca, sa = np.cos(angle), np.sin(angle)
+    hw = DESC_SCL_FCTR * scl
+    ud = (ca * rx + sa * ry) / hw
+    vd = (-sa * rx + ca * ry) / hw
+    wd = np.exp(-(ud * ud + vd * vd) / (2 * (0.5 * DESC_D) ** 2))
+    okb = (vd + 1.5 > -1) & (vd + 1.5 < DESC_D) \
+        & (ud + 1.5 > -1) & (ud + 1.5 < DESC_D)
+    trot = theta - angle
+    obin = (trot / (2 * np.pi) % 1.0) * DESC_B
+    magw = mag * wd * okb
+
+    chans = np.zeros((DESC_B, CORE_H, CORE_W), np.float32)
+    for o in range(DESC_B):
+        d = np.abs(obin - o)
+        chans[o] = magw * np.maximum(0.0, 1.0 - np.minimum(d, DESC_B - d))
+    # 4x4 box downsample
+    coarse = chans.reshape(DESC_B, CH, CELL, CW, CELL).sum(axis=(2, 4))
+
+    # cell-centre bins
+    icc, jcc = np.mgrid[0:CH, 0:CW].astype(np.float32)
+    rx_c = (xs0 + CELL * jcc + 0.5 * (CELL - 1)) - x
+    ry_c = (ys0 + CELL * icc + 0.5 * (CELL - 1)) - y
+    ud_c = (ca * rx_c + sa * ry_c) / hw
+    vd_c = (-sa * rx_c + ca * ry_c) / hw
+    rbin = vd_c + DESC_D / 2 - 0.5
+    cbin = ud_c + DESC_D / 2 - 0.5
+
+    desc = np.zeros((DESC_D * DESC_D, DESC_B), np.float32)
+    for r in range(DESC_D):
+        tr = np.maximum(0.0, 1.0 - np.abs(rbin - r))
+        for c in range(DESC_D):
+            tc = np.maximum(0.0, 1.0 - np.abs(cbin - c))
+            for o in range(DESC_B):
+                desc[r * DESC_D + c, o] = np.sum(tr * tc * coarse[o])
+    desc = desc.reshape(-1)
+    desc = desc / max(np.linalg.norm(desc), 1e-12)
+    desc = np.minimum(desc, DESC_MAG_THR)
+    desc = 512.0 * desc / max(np.linalg.norm(desc), 1e-12)
+    return float(angle), desc.astype(np.float32)
+
+
+# ---------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------
+
+_STAGES = "all"  # trace-time knob for perf bisection: all|ori|desc|dma
+_DMA_MODE = "dyn"  # dyn | static (fixed origin) | none (skip DMA)
+
+
+def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
+                     angle_ref, desc_ref, win_ref, sem_ref):
+    # meta arrays ride flattened: 2-D SMEM operands are padded to 128
+    # lanes per row (1280 keypoints cost 640 KB of the 1 MB SMEM)
+    k = pl.program_id(0)
+    ib = 4 * k
+    fb = 8 * k
+    valid = imeta_ref[ib + 3]
+
+    angle_ref[...] = jnp.zeros_like(angle_ref)
+    desc_ref[...] = jnp.zeros_like(desc_ref)
+
+    @pl.when(valid > 0)
+    def _():
+        x0 = pl.multiple_of(imeta_ref[ib + 0], 128)
+        y0 = pl.multiple_of(imeta_ref[ib + 1], 8)
+        lay = imeta_ref[ib + 2]
+        x = fmeta_ref[fb + 0]
+        y = fmeta_ref[fb + 1]
+        scl = fmeta_ref[fb + 2]
+        w_real = fmeta_ref[fb + 3]
+        h_real = fmeta_ref[fb + 4]
+
+        if _DMA_MODE != "none":
+            if _DMA_MODE == "static":
+                lay_d, y0_d, x0_d = 0, 0, 0
+            else:
+                lay_d, y0_d, x0_d = lay, y0, x0
+            cp_dx = pltpu.make_async_copy(
+                dxs_ref.at[lay_d, pl.ds(y0_d, WIN_H), pl.ds(x0_d, WIN_W)],
+                win_ref.at[0], sem_ref.at[0])
+            cp_dy = pltpu.make_async_copy(
+                dys_ref.at[lay_d, pl.ds(y0_d, WIN_H), pl.ds(x0_d, WIN_W)],
+                win_ref.at[1], sem_ref.at[1])
+            cp_dx.start()
+            cp_dy.start()
+            cp_dx.wait()
+            cp_dy.wait()
+
+        rxi = jnp.round(x)
+        ryi = jnp.round(y)
+        fx = x - rxi
+        fy = y - ryi
+        # keypoint offset inside the DMA window
+        xoff = rxi.astype(jnp.int32) - x0
+        yoff = ryi.astype(jnp.int32) - y0
+        # 8-quantized so the dynamic VMEM row read is provably aligned
+        row0 = pl.multiple_of(
+            jnp.clip(((yoff - 40) // 8) * 8, 0, WIN_H - CORE_H), 8)
+        lshift = xoff - 64  # lanes to rotate left
+
+        def center(ch):
+            rows = win_ref[ch, pl.ds(row0, CORE_H), :]        # (88, 256)
+            # dynamic rotate is 32-bit only: widen before rolling
+            rolled = pltpu.roll(rows.astype(jnp.float32), -lshift, 1)
+            return rolled[:, :CORE_W]                         # (88, 128)
+
+        dx = center(0)
+        dy = center(1)
+
+        ii = lax.broadcasted_iota(jnp.int32, (CORE_H, CORE_W), 0)
+        jj = lax.broadcasted_iota(jnp.int32, (CORE_H, CORE_W), 1)
+        # absolute original-image coords; when the window origin was
+        # clipped at an image edge the keypoint is NOT at (40, 64), so
+        # every coordinate derives from y0+row0 / the roll, and masks
+        # cover clipping, lane wrap and zero padding alike
+        pxi = rxi.astype(jnp.int32) + (jj - 64)
+        pyi = y0 + row0 + ii
+        inside = ((pxi >= 0) & (pxi.astype(jnp.float32) < w_real)
+                  & (pyi >= 0) & (pyi.astype(jnp.float32) < h_real))
+        rx = pxi.astype(jnp.float32) - x
+        ry = pyi.astype(jnp.float32) - y
+
+        mag = jnp.sqrt(dx * dx + dy * dy) * inside.astype(jnp.float32)
+        theta = _atan2_poly(dy, dx)
+
+        # ---- orientation histogram: its own keypoint-centred band read
+        # (a static slice of the core would miss edge-clipped keypoints)
+        if _STAGES == "dma":
+            angle_ref[...] = jnp.full((1, 1, 128), jnp.sum(dx) + jnp.sum(dy),
+                                      jnp.float32)
+            return
+        if _STAGES == "desc":
+            angle = jnp.float32(0.3)
+        else:
+            row0b = pl.multiple_of(
+                jnp.clip(((yoff - ORI_H // 2) // 8) * 8, 0, WIN_H - ORI_H), 8)
+
+            def center_band(ch):
+                rows = win_ref[ch, pl.ds(row0b, ORI_H), :]
+                rolled = pltpu.roll(rows.astype(jnp.float32), -lshift, 1)
+                return rolled[:, :CORE_W]
+
+            bdx = center_band(0)
+            bdy = center_band(1)
+            iib = lax.broadcasted_iota(jnp.int32, (ORI_H, CORE_W), 0)
+            jjb = lax.broadcasted_iota(jnp.int32, (ORI_H, CORE_W), 1)
+            pxb = rxi.astype(jnp.int32) + (jjb - 64)
+            pyb = y0 + row0b + iib
+            insideb = ((pxb >= 0) & (pxb.astype(jnp.float32) < w_real)
+                       & (pyb >= 0) & (pyb.astype(jnp.float32) < h_real))
+            magb = jnp.sqrt(bdx * bdx + bdy * bdy) * insideb.astype(jnp.float32)
+            thetab = _atan2_poly(bdy, bdx)
+
+            inv_scl = 1.0 / scl
+            ub = (pxb.astype(jnp.float32) - x) * inv_scl
+            vb = (pyb.astype(jnp.float32) - y) * inv_scl
+            mb = ((jnp.abs(ub) <= ORI_RADIUS_FCTR)
+                  & (jnp.abs(vb) <= ORI_RADIUS_FCTR)).astype(jnp.float32)
+            wgt = jnp.exp(-(ub * ub + vb * vb)
+                          / (2.0 * ORI_SIG_FCTR ** 2)) * mb
+            binf = (thetab / (2 * math.pi) + 0.5) * ORI_BINS
+            b0f = jnp.floor(binf)
+            b0 = b0f.astype(jnp.int32) % ORI_BINS
+            frac = binf - b0f
+            w_all = magb * wgt
+            w_lo = w_all * (1.0 - frac)
+            w_hi = w_all * frac
+            b1 = (b0 + 1) % ORI_BINS
+
+            hist = []
+            for j in range(ORI_BINS):
+                hist.append(jnp.sum(jnp.where(b0 == j, w_lo, 0.0)
+                                    + jnp.where(b1 == j, w_hi, 0.0)))
+
+            def smooth(hh):
+                n = ORI_BINS
+                return [(6 * hh[j] + 4 * (hh[(j - 1) % n] + hh[(j + 1) % n])
+                         + hh[(j - 2) % n] + hh[(j + 2) % n]) / 16.0
+                        for j in range(n)]
+
+            hist = smooth(smooth(hist))
+
+            best = hist[0]
+            pk = jnp.int32(0)
+            for j in range(1, ORI_BINS):
+                take = hist[j] > best
+                best = jnp.where(take, hist[j], best)
+                pk = jnp.where(take, jnp.int32(j), pk)
+            hl = jnp.float32(0.0)
+            hc = jnp.float32(0.0)
+            hr = jnp.float32(0.0)
+            for j in range(ORI_BINS):
+                sel = pk == j
+                hl = jnp.where(sel, hist[(j - 1) % ORI_BINS], hl)
+                hc = jnp.where(sel, hist[j], hc)
+                hr = jnp.where(sel, hist[(j + 1) % ORI_BINS], hr)
+            denom = hl - 2 * hc + hr
+            safe = jnp.abs(denom) > 1e-12
+            dbin = jnp.where(safe,
+                             0.5 * (hl - hr) / jnp.where(safe, denom, 1.0), 0.0)
+            angle = (((pk.astype(jnp.float32) + dbin) % ORI_BINS) / ORI_BINS
+                     - 0.5) * 2 * math.pi
+        if _STAGES == "ori":
+            angle_ref[...] = jnp.full((1, 1, 128), angle, jnp.float32)
+            return
+
+        # ---- descriptor
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        inv_hw = 1.0 / (DESC_SCL_FCTR * scl)
+        ud = (ca * rx + sa * ry) * inv_hw
+        vd = (-sa * rx + ca * ry) * inv_hw
+        wd = jnp.exp(-(ud * ud + vd * vd) / (2 * (0.5 * DESC_D) ** 2))
+        okb = ((vd + 1.5 > -1) & (vd + 1.5 < DESC_D)
+               & (ud + 1.5 > -1) & (ud + 1.5 < DESC_D)).astype(jnp.float32)
+        trot = theta - angle
+        obin = (trot / (2 * math.pi) % 1.0) * DESC_B
+        magw = mag * wd * okb
+
+        # 8 orientation channels, each 4x4 box-downsampled on the MXU:
+        # Dr (CH, CORE_H) and Dc (CORE_W, CW) are iota-built 0/1 matrices
+        ar = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 0)
+        br = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 1)
+        Dr = (br // CELL == ar).astype(jnp.float32)
+        ac = lax.broadcasted_iota(jnp.int32, (CORE_W, CW), 0)
+        bc = lax.broadcasted_iota(jnp.int32, (CORE_W, CW), 1)
+        Dc = (ac // CELL == bc).astype(jnp.float32)
+
+        coarse = []  # 8 x (CH, CW)
+        for o in range(DESC_B):
+            d = jnp.abs(obin - o)
+            tent = jnp.maximum(0.0, 1.0 - jnp.minimum(d, DESC_B - d))
+            v_o = magw * tent
+            c1 = jnp.dot(Dr, v_o, preferred_element_type=jnp.float32)
+            coarse.append(jnp.dot(c1, Dc,
+                                  preferred_element_type=jnp.float32))
+        # lane-pack channels: (CH, 8*CW)
+        packed = jnp.concatenate(coarse, axis=1)
+
+        # cell-centre spatial bins (same for every channel)
+        icc = lax.broadcasted_iota(jnp.int32, (CH, DESC_B * CW), 0) \
+            .astype(jnp.float32)
+        jcc = (lax.broadcasted_iota(jnp.int32, (CH, DESC_B * CW), 1)
+               % CW).astype(jnp.float32)
+        xbase = (rxi - 64.0)
+        ybase = (y0 + row0).astype(jnp.float32)
+        rx_c = (xbase + CELL * jcc + 0.5 * (CELL - 1)) - x
+        ry_c = (ybase + CELL * icc + 0.5 * (CELL - 1)) - y
+        ud_c = (ca * rx_c + sa * ry_c) * inv_hw
+        vd_c = (-sa * rx_c + ca * ry_c) * inv_hw
+        rbin = vd_c + (DESC_D / 2 - 0.5)
+        cbin = ud_c + (DESC_D / 2 - 0.5)
+
+        # segment matmul: (CH, 8*CW) @ (8*CW, 8) sums each channel's lanes
+        sc = lax.broadcasted_iota(jnp.int32, (DESC_B * CW, DESC_B), 0)
+        so = lax.broadcasted_iota(jnp.int32, (DESC_B * CW, DESC_B), 1)
+        Seg = (sc // CW == so).astype(jnp.float32)
+
+        rows = []
+        for r in range(DESC_D):
+            tr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - r))
+            for c in range(DESC_D):
+                tc = jnp.maximum(0.0, 1.0 - jnp.abs(cbin - c))
+                prod = packed * tr * tc                      # (CH, 8*CW)
+                per_ch = jnp.dot(prod, Seg,
+                                 preferred_element_type=jnp.float32)
+                rows.append(jnp.sum(per_ch, axis=0, keepdims=True))  # (1,8)
+        raw = jnp.concatenate(rows, axis=0)                  # (16, 8)
+
+        desc_ref[0, :, :DESC_B] = raw
+        angle_ref[...] = jnp.full((1, 1, 128), angle, jnp.float32)
+
+
+@jax.custom_batching.custom_vmap
+def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
+                     imeta: jnp.ndarray, fmeta: jnp.ndarray):
+    """Orientation + descriptor for K keypoints via window DMA.
+
+    dxs, dys: (S, Hp, Wp) bf16 gradient stacks; Hp % 8 == 0, Hp >= WIN_H,
+    Wp % 128 == 0, Wp >= WIN_W (zero-padded beyond the real image).
+    imeta: (K, 4) int32 [x0, y0, layer, valid] with x0 % 128 == 0 and
+           y0 % 8 == 0 (prep_meta builds these).
+    fmeta: (K, 8) f32 [x, y, scl, w_real, h_real, 0, 0, 0].
+    Returns (angle (K,), desc (K, 128)) f32; descriptors are normalized
+    here in XLA (clip at 0.2, renorm to 512 — result_types.py parity).
+
+    Under vmap the batch is flattened into the layer/keypoint axes (one
+    kernel launch for the whole pair batch) instead of lifting pallas_call
+    through the batching rule.
+    """
+    interpret = jax.default_backend() != "tpu"
+    K = imeta.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 128), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, 128), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN_H, WIN_W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    angle, raw = pl.pallas_call(
+        _ori_desc_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((K, 16, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(imeta.reshape(-1), fmeta.reshape(-1), dxs, dys)
+    desc = raw[:, :, :DESC_B].reshape(K, 128)  # (rc major, o minor)
+    norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-12)
+    desc = jnp.minimum(desc, DESC_MAG_THR)
+    norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
+    desc = 512.0 * desc / jnp.maximum(norm, 1e-12)
+    return angle[:, 0, 0], desc
+
+
+@ori_desc_windows.def_vmap
+def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, fmeta):
+    """Batch by flattening: (B,S,Hp,Wp) stacks -> (B*S,Hp,Wp), keypoints
+    -> (B*K,) with layer indices offset per batch element."""
+    def bcast(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x[None], (axis_size,) + x.shape)
+
+    dxs = bcast(dxs, in_batched[0])
+    dys = bcast(dys, in_batched[1])
+    imeta = bcast(imeta, in_batched[2])
+    fmeta = bcast(fmeta, in_batched[3])
+    B, S, Hp, Wp = dxs.shape
+    K = imeta.shape[1]
+    layer_off = (jnp.arange(B, dtype=imeta.dtype) * S)[:, None]
+    imeta = imeta.at[:, :, 2].add(layer_off)
+    angle, desc = ori_desc_windows(
+        dxs.reshape(B * S, Hp, Wp), dys.reshape(B * S, Hp, Wp),
+        imeta.reshape(B * K, 4), fmeta.reshape(B * K, fmeta.shape[-1]))
+    return (angle.reshape(B, K), desc.reshape(B, K, 128)), (True, True)
+
+
+def pad_dims(h: int, w: int):
+    """Padded gradient-stack dims satisfying the DMA tiling contract."""
+    hp = max(WIN_H, (h + 7) // 8 * 8)
+    wp = max(WIN_W, (w + 127) // 128 * 128)
+    return hp, wp
+
+
+def prep_meta(xs, ys, ls_layer, scl, keep, hp: int, wp: int,
+              h_real: int, w_real: int):
+    """Aligned window origins + meta arrays for ori_desc_windows."""
+    rxi = jnp.round(xs).astype(jnp.int32)
+    ryi = jnp.round(ys).astype(jnp.int32)
+    # x0: keypoint lane offset in [64, 192) when unclipped
+    x0 = jnp.clip(((rxi - 64) // 128) * 128, 0, wp - WIN_W)
+    # y0: keypoint row offset in [44, 52) when unclipped
+    y0 = jnp.clip(((ryi - 44) // 8) * 8, 0, hp - WIN_H)
+    imeta = jnp.stack([x0, y0, ls_layer.astype(jnp.int32),
+                       keep.astype(jnp.int32)], axis=1)
+    z = jnp.zeros_like(scl)
+    fmeta = jnp.stack([xs, ys, scl,
+                       jnp.full_like(scl, float(w_real)),
+                       jnp.full_like(scl, float(h_real)),
+                       z, z, z], axis=1)
+    return imeta, fmeta

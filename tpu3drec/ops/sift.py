@@ -312,13 +312,21 @@ def _descriptor_from_samples(gx, gy, angle):
     return 512.0 * desc / jnp.maximum(norm, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("max_features", "upscale"))
+@functools.partial(jax.jit, static_argnames=("max_features", "upscale",
+                                              "sampler"))
 def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
                        contrast_threshold: float = 0.04,
                        edge_threshold: float = 10.0,
-                       upscale: bool = False):
+                       upscale: bool = False,
+                       sampler: str = "auto"):
     """Full SIFT. img: (H, W) float32 in [0, 1]. Returns array bundle
-    (xy, response, scale, angle, desc, mask) with capacity max_features."""
+    (xy, response, scale, angle, desc, mask) with capacity max_features.
+
+    sampler: "xla" (linearized-gather sampling, 12x12/9x9 grids),
+    "pallas" (window-DMA dense kernel, ops/pallas_sample.py), or "auto"
+    (pallas on TPU — gathers are element-bound there — else xla)."""
+    if sampler == "auto":
+        sampler = "pallas" if jax.default_backend() == "tpu" else "xla"
     if upscale:
         img = jax.image.resize(img, (img.shape[0] * 2, img.shape[1] * 2),
                                "linear")
@@ -364,33 +372,50 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
         # near-border keypoints don't sample opposite-edge pixels
         dx_stack = dx_stack.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
         dy_stack = dy_stack.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
-        # bf16 gradient storage: sampling is gather-bandwidth bound and the
-        # orientation/descriptor histograms are insensitive to the mantissa
-        # (verified: identical GT-warp match sets vs f32)
-        grad_stack = jnp.stack([dx_stack, dy_stack],
-                               axis=0).astype(jnp.bfloat16)  # (2,S,H,W)
 
-        # orientation
-        px = xs[:, None] + ori_offs[None, :, 0] * scl_oct[:, None]
-        py = ys[:, None] + ori_offs[None, :, 1] * scl_oct[:, None]
-        gx, gy = _sample_gradients(grad_stack, layer_idx, px, py)
-        angle = _orientation_from_samples(gx, gy, ori_offs)
-
-        # descriptor
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
-        pxd = xs[:, None] + (ca[:, None] * _DESC_OX[None]
-                             - sa[:, None] * _DESC_OY[None]) * scl_oct[:, None]
-        pyd = ys[:, None] + (sa[:, None] * _DESC_OX[None]
-                             + ca[:, None] * _DESC_OY[None]) * scl_oct[:, None]
-        gxd, gyd = _sample_gradients(grad_stack, layer_idx, pxd, pyd)
-        desc = _descriptor_from_samples(gxd, gyd, angle)
-        # reject keypoints whose descriptor window is mostly outside the
+        # reject keypoints whose descriptor support is mostly outside the
         # image: their zero-padded descriptors are non-distinctive and form
         # spurious ratio-test matches (ADVICE r1; OpenCV skips out-of-image
         # samples, and frame-edge keypoints rarely survive its border gates)
-        in_img = ((pxd >= 0) & (pxd <= wh - 1) &
-                  (pyd >= 0) & (pyd <= hh - 1)).astype(jnp.float32)
-        keep &= jnp.mean(in_img, axis=1) >= 0.8
+        rdesc = DESC_SCL_FCTR * (DESC_D + 1) * 0.5 * math.sqrt(2.0) * scl_oct
+        keep &= (jnp.minimum(xs, wh - 1 - xs) >= 0.5 * rdesc) \
+            & (jnp.minimum(ys, hh - 1 - ys) >= 0.5 * rdesc)
+
+        if sampler == "pallas":
+            # window-DMA dense kernel: one DMA per keypoint, no gathers
+            from tpu3drec.ops.pallas_sample import (
+                ori_desc_windows, prep_meta, pad_dims)
+            hp, wp = pad_dims(hh, wh)
+            dxp, dyp = dx_stack, dy_stack
+            if (hp, wp) != (hh, wh):
+                dxp = jnp.pad(dxp, ((0, 0), (0, hp - hh), (0, wp - wh)))
+                dyp = jnp.pad(dyp, ((0, 0), (0, hp - hh), (0, wp - wh)))
+            imeta, fmeta = prep_meta(xs, ys, layer_idx, scl_oct, keep,
+                                     hp, wp, hh, wh)
+            angle, desc = ori_desc_windows(
+                dxp.astype(jnp.bfloat16), dyp.astype(jnp.bfloat16),
+                imeta, fmeta)
+        else:
+            # bf16 gradient storage: sampling is gather-bandwidth bound and
+            # the orientation/descriptor histograms are insensitive to the
+            # mantissa (verified: identical GT-warp match sets vs f32)
+            grad_stack = jnp.stack([dx_stack, dy_stack],
+                                   axis=0).astype(jnp.bfloat16)  # (2,S,H,W)
+
+            # orientation
+            px = xs[:, None] + ori_offs[None, :, 0] * scl_oct[:, None]
+            py = ys[:, None] + ori_offs[None, :, 1] * scl_oct[:, None]
+            gx, gy = _sample_gradients(grad_stack, layer_idx, px, py)
+            angle = _orientation_from_samples(gx, gy, ori_offs)
+
+            # descriptor
+            ca, sa = jnp.cos(angle), jnp.sin(angle)
+            pxd = xs[:, None] + (ca[:, None] * _DESC_OX[None]
+                                 - sa[:, None] * _DESC_OY[None]) * scl_oct[:, None]
+            pyd = ys[:, None] + (sa[:, None] * _DESC_OX[None]
+                                 + ca[:, None] * _DESC_OY[None]) * scl_oct[:, None]
+            gxd, gyd = _sample_gradients(grad_stack, layer_idx, pxd, pyd)
+            desc = _descriptor_from_samples(gxd, gyd, angle)
 
         factor = (2.0 ** o) * (0.5 if upscale else 1.0)
         all_parts.append(dict(

@@ -43,13 +43,20 @@ class DenseReconstructionPipeline:
     def __init__(self, num_disparities: int = 64,
                  fusion_method: str = "weighted",
                  voxel_size: Optional[float] = None,
+                 mesh_method: str = "tsdf",
                  mesh_stride: int = 2,
+                 tsdf_resolution: int = 96,
                  outlier_k: int = 20, outlier_std: float = 2.0,
                  max_cloud_points: int = 200_000):
         self.num_disparities = num_disparities
         self.fusion_method = fusion_method
         self.voxel_size = voxel_size
+        # "tsdf" = volumetric fusion + marching tetrahedra (ops/tsdf.py,
+        # the Poisson/BPA replacement — mesh_generation.py:29-143);
+        # "depth_grid" = 2.5D reference-view grid mesh
+        self.mesh_method = mesh_method
         self.mesh_stride = mesh_stride
+        self.tsdf_resolution = tsdf_resolution
         self.outlier_k = outlier_k
         self.outlier_std = outlier_std
         self.max_cloud_points = max_cloud_points
@@ -142,9 +149,22 @@ class DenseReconstructionPipeline:
         t_cloud = time.perf_counter()
 
         # ---- stage 3: mesh ---------------------------------------------
-        verts, faces = mesh_ops.depth_map_to_mesh(
-            np.asarray(fused), K_ref, R_ref, t_ref,
-            valid=np.asarray(fused_valid), stride=self.mesh_stride)
+        mesh_method_used = self.mesh_method
+        if self.mesh_method == "tsdf":
+            try:
+                from tpu3drec.ops.tsdf import tsdf_mesh
+                tm = tsdf_mesh(
+                    np.asarray(fused), np.asarray(fused_valid),
+                    K_ref.astype(np.float32), R_ref.astype(np.float32),
+                    t_ref.astype(np.float32),
+                    resolution=self.tsdf_resolution)
+                verts, faces = tm["verts"], tm["faces"]
+            except Exception:
+                mesh_method_used = "depth_grid"  # degraded mode
+        if mesh_method_used != "tsdf":
+            verts, faces = mesh_ops.depth_map_to_mesh(
+                np.asarray(fused), K_ref, R_ref, t_ref,
+                valid=np.asarray(fused_valid), stride=self.mesh_stride)
         verts, faces = mesh_ops.repair_mesh(verts, faces)
         verts, faces = mesh_ops.smooth_mesh(verts, faces, iterations=2)
         vert_colors = mesh_ops.project_texture(
@@ -165,7 +185,7 @@ class DenseReconstructionPipeline:
             },
             "point_cloud": {"num_points": int(len(pts_np)),
                             **cloud_quality},
-            "mesh": mq,
+            "mesh": {"method": mesh_method_used, **mq},
             "timings_s": {
                 "stereo": t_stereo - t_start,
                 "point_cloud": t_cloud - t_stereo,
