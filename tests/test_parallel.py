@@ -67,16 +67,21 @@ def test_batched_pair_step_runs_on_mesh():
     step = make_batched_pair_step(mesh, detect_tuple, num_hypotheses=32)
 
     rng = np.random.default_rng(1)
-    B, H, W = 8, 48, 48
+    B, H, W = 8, 72, 72
     def mk(seed):
+        # corner-rich: checkerboard + blobs (the border-support gate
+        # rejects keypoints within ~0.5*desc-radius of the edge, so tiny
+        # noise images can end up with zero valid keypoints)
         r = np.random.default_rng(seed)
-        img = np.zeros((H, W), np.float32)
-        for _ in range(15):
-            y, x = r.integers(2, H - 10), r.integers(2, W - 10)
-            img[y:y + r.integers(3, 10), x:x + r.integers(3, 10)] += \
-                r.uniform(-0.5, 0.5)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        img = 0.3 * (((yy // 8).astype(int) + (xx // 8).astype(int)) % 2)
+        for _ in range(10):
+            cy, cx = r.uniform(10, H - 10), r.uniform(10, W - 10)
+            s_ = r.uniform(2.0, 5.0)
+            img += r.uniform(0.2, 0.5) * np.exp(
+                -(((yy - cy) / s_) ** 2 + ((xx - cx) / s_) ** 2))
         img -= img.min()
-        return img / max(img.max(), 1e-6)
+        return (img / max(img.max(), 1e-6)).astype(np.float32)
     imgs1 = jnp.asarray(np.stack([mk(i) for i in range(B)]))
     imgs2 = imgs1  # identical pairs -> matches guaranteed
     keys = jax.random.split(jax.random.PRNGKey(0), B)

@@ -76,6 +76,59 @@ def knn2(desc1: jnp.ndarray, desc2: jnp.ndarray,
     return _top2_min(dist)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "block"))
+def knn2_blockwise(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                   mask1: jnp.ndarray, mask2: jnp.ndarray,
+                   metric: str = "l2",
+                   block: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blockwise 2-NN: identical result to knn2, but the (N, M) distance
+    matrix is never materialized — a lax.scan over M/block column tiles
+    keeps a running top-2, bounding memory at O(N * block). This is the
+    SURVEY §5 long-context analogue for the descriptor distance matrix
+    (N >= ~8k is where the full matrix stops fitting comfortably:
+    16k x 16k f32 = 1 GB).
+    """
+    n, d = desc1.shape
+    m = desc2.shape[0]
+    nb = -(-m // block)
+    mp = nb * block
+    if mp != m:
+        desc2 = jnp.pad(desc2, ((0, mp - m), (0, 0)))
+        mask2 = jnp.pad(mask2, (0, mp - m))
+    blocks_d = desc2.reshape(nb, block, d)
+    blocks_m = mask2.reshape(nb, block)
+
+    def step(carry, blk):
+        bi, bv = carry                     # running (N,2) idx / val
+        db, mb, off = blk
+        dist = distance_matrix(desc1, db, metric)
+        dist = jnp.where(mb[None, :], dist, _INF)
+        li, lv = _top2_min(dist)
+        li = li + off
+        # merge 4 candidates -> top 2
+        cand_v = jnp.concatenate([bv, lv], axis=1)       # (N, 4)
+        cand_i = jnp.concatenate([bi, li], axis=1)
+        j1 = jnp.argmin(cand_v, axis=1)
+        v1 = jnp.take_along_axis(cand_v, j1[:, None], axis=1)[:, 0]
+        i1 = jnp.take_along_axis(cand_i, j1[:, None], axis=1)[:, 0]
+        masked = cand_v.at[jnp.arange(n), j1].set(_INF)
+        j2 = jnp.argmin(masked, axis=1)
+        v2 = jnp.take_along_axis(masked, j2[:, None], axis=1)[:, 0]
+        i2 = jnp.take_along_axis(cand_i, j2[:, None], axis=1)[:, 0]
+        return (jnp.stack([i1, i2], 1), jnp.stack([v1, v2], 1)), None
+
+    init = (jnp.zeros((n, 2), jnp.int32),
+            jnp.full((n, 2), _INF, jnp.float32))
+    offs = jnp.arange(nb, dtype=jnp.int32) * block
+    (idx, val), _ = jax.lax.scan(step, init, (blocks_d, blocks_m, offs))
+    return idx, val
+
+
+# full-matrix kNN is faster below this many descriptors; above it the
+# (N, M) matrix costs real HBM and the scan tiles win
+BLOCKWISE_THRESHOLD = 8192
+
+
 def _metric_for(feats: Features) -> str:
     return ("hamming_pm1" if feats.desc_kind == DescriptorKind.BINARY.value
             else "l2")
@@ -84,7 +137,10 @@ def _metric_for(feats: Features) -> str:
 @functools.partial(jax.jit, static_argnames=("ratio", "cross_check", "metric"))
 def _match_impl(desc1, desc2, mask1, mask2, ratio: float,
                 cross_check: bool, metric: str):
-    nn_idx, nn_dist = knn2(desc1, desc2, mask1, mask2, metric)
+    # large-N regime: tiled top-2 instead of the full distance matrix
+    big = max(desc1.shape[0], desc2.shape[0]) >= BLOCKWISE_THRESHOLD
+    knn = knn2_blockwise if big else knn2
+    nn_idx, nn_dist = knn(desc1, desc2, mask1, mask2, metric)
     best = nn_idx[:, 0]
     d1, d2 = nn_dist[:, 0], nn_dist[:, 1]
     # Lowe ratio test (feature_matchers.py:129-148). Guard the d2==0 case.
@@ -92,7 +148,7 @@ def _match_impl(desc1, desc2, mask1, mask2, ratio: float,
     ok = ok & mask1 & (d1 < _INF)
     if cross_check:
         # mutual nearest: 1-NN of desc2 rows must point back
-        rev_idx, _ = knn2(desc2, desc1, mask2, mask1, metric)
+        rev_idx, _ = knn(desc2, desc1, mask2, mask1, metric)
         ok = ok & (rev_idx[best, 0] == jnp.arange(desc1.shape[0]))
     return best, d1, ok
 

@@ -175,8 +175,12 @@ class FeatureProcessingPipeline:
                      export_colmap: bool = False,
                      max_images: Optional[int] = None,
                      resize_to: Optional[Tuple[int, int]] = None,
-                     base_name: str = "results") -> Dict[str, Any]:
-        """Batch job over an image folder (pipeline.py:327-716)."""
+                     base_name: str = "results",
+                     pairs: Optional[List] = None) -> Dict[str, Any]:
+        """Batch job over an image folder (pipeline.py:327-716).
+
+        `pairs` overrides pair generation with an explicit subset — the
+        multi-host folder-sharding hook (parallel/multihost.py)."""
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         batch_size = batch_size or self.config.get("pair_batch_size", 8)
@@ -185,7 +189,8 @@ class FeatureProcessingPipeline:
         source = FolderImageSource(folder, resize_to=resize_to,
                                    max_images=max_images)
         metas = source.get_metadata_list()
-        pairs = create_pairs_from_metadata(metas, pair_mode, pair_window)
+        if pairs is None:
+            pairs = create_pairs_from_metadata(metas, pair_mode, pair_window)
         bp = BatchProcessor(output_dir,
                             metadata={"folder": str(folder),
                                       "pair_mode": pair_mode})
