@@ -147,3 +147,73 @@ def test_gn_refinement_reduces_error():
         eb = b[:, :2] / b[:, 2:3] - p2
         return float(jnp.sum(ea ** 2 + eb ** 2))
     assert cost(Xr) < cost(Xp) * 0.2
+
+
+def _two_view_geom(seed=0, noise=1.0, n=200):
+    rng = np.random.default_rng(seed)
+    K = np.array([[600, 0, 320], [0, 600, 240], [0, 0, 1]], np.float64)
+    R = cv2.Rodrigues(np.array([0.02, 0.3, 0.01]))[0]
+    t = np.array([1.0, 0.1, 0.05])
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    F = np.linalg.inv(K).T @ tx @ R @ np.linalg.inv(K)
+    X = rng.uniform(-3, 3, (n, 3)) + np.array([0, 0, 8.0])
+    uv1, _ = cv2.projectPoints(X, np.zeros(3), np.zeros(3), K, None)
+    uv2, _ = cv2.projectPoints(X, cv2.Rodrigues(R)[0], t, K, None)
+    n1 = uv1[:, 0] + noise * rng.standard_normal((n, 2))
+    n2 = uv2[:, 0] + noise * rng.standard_normal((n, 2))
+    return K, R, t, F, X, n1, n2
+
+
+def test_hartley_sturm_matches_cv2_correctmatches():
+    """Exact optimal correction parity vs cv2.correctMatches
+    (VERDICT r1 missing #5: only the first-order Sampson step existed)."""
+    from tpu3drec.ops.triangulate import hartley_sturm_correct
+    K, R, t, F, X, n1, n2 = _two_view_geom()
+    c1cv, c2cv = cv2.correctMatches(F, n1[None], n2[None])
+    c1, c2 = hartley_sturm_correct(
+        jnp.asarray(n1, jnp.float32), jnp.asarray(n2, jnp.float32),
+        jnp.asarray(F, jnp.float32))
+    d1 = np.linalg.norm(np.asarray(c1) - c1cv[0], axis=1)
+    d2 = np.linalg.norm(np.asarray(c2) - c2cv[0], axis=1)
+    assert np.median(d1) < 1e-3 and np.median(d2) < 1e-3
+    assert np.percentile(d1, 99) < 1e-2
+
+    def resid(a, b):
+        ah = np.concatenate([a, np.ones((len(a), 1))], 1)
+        bh = np.concatenate([b, np.ones((len(b), 1))], 1)
+        return np.abs(np.sum(bh * (ah @ F.T), axis=1))
+
+    # correction lands on the epipolar constraint (f32 exactness)
+    assert np.median(resid(np.asarray(c1), np.asarray(c2))) < 1e-6
+
+
+def test_reprojection_parity_with_opencv_triangulation():
+    """BASELINE.md gate: reprojection error within 1% of the OpenCV
+    reference chain (correctMatches + triangulatePoints)."""
+    from tpu3drec.ops.triangulate import (
+        triangulate_two_view, TriangulationConfig,
+    )
+    K, R, t, F, X, n1, n2 = _two_view_geom(noise=0.8)
+    P1 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = K @ np.hstack([R, t[:, None]])
+    c1cv, c2cv = cv2.correctMatches(F, n1[None], n2[None])
+    Xh = cv2.triangulatePoints(P1, P2, c1cv[0].T, c2cv[0].T)
+    Xcv = (Xh[:3] / Xh[3]).T
+
+    def mean_reproj(Xw):
+        e = []
+        for P, uv in ((P1, n1), (P2, n2)):
+            pr = (np.concatenate([Xw, np.ones((len(Xw), 1))], 1) @ P.T)
+            pr = pr[:, :2] / pr[:, 2:3]
+            e.append(np.linalg.norm(pr - uv, axis=1))
+        return float(np.mean(e))
+
+    res = triangulate_two_view(
+        jnp.asarray(n1, jnp.float32), jnp.asarray(n2, jnp.float32),
+        jnp.asarray(K, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.eye(3), jnp.zeros(3),
+        jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
+        config=TriangulationConfig(correction="hartley_sturm"))
+    ours = mean_reproj(np.asarray(res.points))
+    cv = mean_reproj(Xcv)
+    assert ours <= cv * 1.01, (ours, cv)

@@ -29,7 +29,10 @@ class TriangulationConfig(NamedTuple):
     max_reproj_px: float = 2.0
     min_depth: float = 1e-3
     max_depth: float = 1e4
-    use_sampson_correction: bool = True
+    # "hartley_sturm" = exact optimal correction (triangulation.py:18-114,
+    # :1103-1160); "sampson" = first-order step; "none"
+    correction: str = "hartley_sturm"
+    use_sampson_correction: bool = True  # legacy master switch
     refine_iters: int = 3
 
 
@@ -50,6 +53,112 @@ def sampson_correct(pts1: jnp.ndarray, pts2: jnp.ndarray,
     d1 = lam[:, None] * Ftx2[:, :2]
     d2 = lam[:, None] * Fx1[:, :2]
     return pts1 - d1, pts2 - d2
+
+
+def _hs_one(p1: jnp.ndarray, p2: jnp.ndarray, F: jnp.ndarray,
+            n_grid: int = 64, n_bisect: int = 30):
+    """Exact Hartley-Sturm optimal correction for ONE correspondence
+    (Hartley & Zisserman 12.5.2; reference triangulation.py:18-114).
+
+    The degree-6 polynomial g(t) is rooted with a tan-grid bracketing +
+    bisection sweep instead of companion-matrix eigenvalues: TPU has no
+    nonsymmetric eig, and the det-free bracketing was already the stable
+    form for the 5-point solver (ops/five_point.py)."""
+    # translate both points to the origin
+    T1 = jnp.array([[1.0, 0, -p1[0]], [0, 1, -p1[1]], [0, 0, 1]])
+    T2 = jnp.array([[1.0, 0, -p2[0]], [0, 1, -p2[1]], [0, 0, 1]])
+    # F maps view-1 points to view-2 lines: x2^T F x1 = 0
+    Fm = jnp.linalg.inv(T2).T @ F @ jnp.linalg.inv(T1)
+
+    # epipoles: F e1 = 0, F^T e2 = 0 (smallest-eigenvector of F^T F)
+    def null3(A):
+        _, v = jnp.linalg.eigh(A.T @ A)
+        return v[:, 0]
+
+    e1 = null3(Fm)
+    e2 = null3(Fm.T)
+    e1 = e1 / jnp.maximum(jnp.sqrt(e1[0] ** 2 + e1[1] ** 2), 1e-12)
+    e2 = e2 / jnp.maximum(jnp.sqrt(e2[0] ** 2 + e2[1] ** 2), 1e-12)
+    R1 = jnp.array([[e1[0], e1[1], 0], [-e1[1], e1[0], 0], [0, 0, 1.0]])
+    R2 = jnp.array([[e2[0], e2[1], 0], [-e2[1], e2[0], 0], [0, 0, 1.0]])
+    Fr = R2 @ Fm @ R1.T
+    f1 = e1[2]
+    f2 = e2[2]
+    a, b = Fr[1, 1], Fr[1, 2]
+    c, d = Fr[2, 1], Fr[2, 2]
+
+    def g(t):
+        return (t * ((a * t + b) ** 2 + f2 ** 2 * (c * t + d) ** 2) ** 2
+                - (a * d - b * c) * (1 + f1 ** 2 * t ** 2) ** 2
+                * (a * t + b) * (c * t + d))
+
+    def s_cost(t):
+        return (t ** 2 / (1 + f1 ** 2 * t ** 2)
+                + (c * t + d) ** 2
+                / jnp.maximum((a * t + b) ** 2
+                              + f2 ** 2 * (c * t + d) ** 2, 1e-30))
+
+    # bracket sign changes of g on a tan grid, bisect each bracket
+    theta = jnp.linspace(-jnp.pi / 2 + 1e-3, jnp.pi / 2 - 1e-3, n_grid)
+    ts = jnp.tan(theta)
+    gs = g(ts)
+    sign_change = gs[:-1] * gs[1:] <= 0
+
+    lo0, hi0 = ts[:-1], ts[1:]
+
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        gl = g(lo)
+        gm = g(mid)
+        left = gl * gm <= 0
+        return (jnp.where(left, lo, mid), jnp.where(left, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, bisect, (lo0, hi0))
+    roots = 0.5 * (lo + hi)
+    costs = jnp.where(sign_change, s_cost(roots), jnp.inf)
+    best = jnp.argmin(costs)
+    t_best = roots[best]
+    # compare with the t -> inf asymptote
+    cost_inf = 1.0 / f1 ** 2 + c ** 2 / jnp.maximum(
+        a ** 2 + f2 ** 2 * c ** 2, 1e-30)
+    use_inf = cost_inf < jnp.min(costs)
+
+    # closest points on the epipolar lines l1(t), l2(t)
+    def closest_on_line(l):
+        lam, mu, nu = l[0], l[1], l[2]
+        return jnp.array([-lam * nu, -mu * nu, lam ** 2 + mu ** 2])
+
+    l1 = jnp.where(use_inf,
+                   jnp.array([f1, 0.0, -1.0]),
+                   jnp.array([t_best * f1, 1.0, -t_best]))
+    l2_t = jnp.array([-f2 * (c * t_best + d), a * t_best + b,
+                      c * t_best + d])
+    l2_inf = jnp.array([-f2 * c, a, c])
+    l2 = jnp.where(use_inf, l2_inf, l2_t)
+    x1h = closest_on_line(l1)
+    x2h = closest_on_line(l2)
+    # undo rotations and translations
+    x1h = jnp.linalg.inv(T1) @ (R1.T @ x1h)
+    x2h = jnp.linalg.inv(T2) @ (R2.T @ x2h)
+    w1 = jnp.where(jnp.abs(x1h[2]) > 1e-12, x1h[2], 1.0)
+    w2 = jnp.where(jnp.abs(x2h[2]) > 1e-12, x2h[2], 1.0)
+    return x1h[:2] / w1, x2h[:2] / w2
+
+
+@functools.partial(jax.jit)
+def hartley_sturm_correct(pts1: jnp.ndarray, pts2: jnp.ndarray,
+                          F: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact optimal correction of correspondences onto x2' F x1 = 0
+    (batched). Falls back to the input when the geometry degenerates
+    (zero epipolar error already)."""
+    c1, c2 = jax.vmap(_hs_one, in_axes=(0, 0, None))(pts1, pts2, F)
+    # guard NaNs from degenerate configurations
+    bad = (~jnp.isfinite(c1).all(axis=1)) | (~jnp.isfinite(c2).all(axis=1))
+    c1 = jnp.where(bad[:, None], pts1, c1)
+    c2 = jnp.where(bad[:, None], pts2, c2)
+    return c1, c2
 
 
 def _dlt_one(p1: jnp.ndarray, p2: jnp.ndarray,
@@ -146,7 +255,7 @@ def triangulate_two_view(pts1: jnp.ndarray, pts2: jnp.ndarray,
     P2 = compose_projection(K2, R2, t2)
 
     p1c, p2c = pts1, pts2
-    if config.use_sampson_correction:
+    if config.use_sampson_correction and config.correction != "none":
         # F = K2^-T [t]x R K1^-1 with relative pose (R, t) cam1 -> cam2
         R_rel = R2 @ R1.T
         t_rel = t2 - R_rel @ t1
@@ -154,7 +263,10 @@ def triangulate_two_view(pts1: jnp.ndarray, pts2: jnp.ndarray,
                         [t_rel[2], 0, -t_rel[0]],
                         [-t_rel[1], t_rel[0], 0]], pts1.dtype)
         F = jnp.linalg.inv(K2).T @ tx @ R_rel @ jnp.linalg.inv(K1)
-        p1c, p2c = sampson_correct(pts1, pts2, F)
+        if config.correction == "hartley_sturm":
+            p1c, p2c = hartley_sturm_correct(pts1, pts2, F)
+        else:
+            p1c, p2c = sampson_correct(pts1, pts2, F)
 
     X = triangulate_points(p1c, p2c, P1, P2)
 
