@@ -30,6 +30,26 @@ import jax as _jax
 # want bf16 opt in with explicit dtypes or per-op precision.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the SfM/matching pipelines jit one program
+# per padded bucket size, and TPU compiles here go through a remote
+# tunnel (minutes for the big programs). Verified effective on this
+# backend. Opt out with TPU3DREC_NO_COMPILE_CACHE=1.
+import os as _os
+
+if (not _os.environ.get("TPU3DREC_NO_COMPILE_CACHE")
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+    # (cpu excluded: XLA:CPU AOT cache entries carry machine-feature
+    # fingerprints that can mismatch across hosts — SIGILL risk; the
+    # remote-TPU compile path is where the cache pays off anyway)
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 _os.path.expanduser("~/.cache/tpu3drec_jax"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
 from tpu3drec.core.types import (
     Features,
     Matches,
@@ -52,6 +72,7 @@ from tpu3drec.api import (
     match_images,
     quick_match,
     quick_process_folder,
+    reconstruct_folder,
 )
 
 

@@ -172,3 +172,55 @@ def quick_process_folder(folder, output_dir, preset: str = "balanced",
                          **kw):
     """One-call folder processing (reference __init__.py:439-...)."""
     return create_pipeline(preset).match_folder(folder, output_dir, **kw)
+
+
+def reconstruct_folder(folder, output_dir, preset: str = "balanced",
+                       dense: bool = False,
+                       sfm_config=None,
+                       chosen_images: Optional[list] = None,
+                       **match_kw) -> Dict[str, Any]:
+    """End-to-end chain: matching -> incremental SfM [-> dense], with
+    IN-PROCESS stage handoff.
+
+    The reference links its three stages through pickle files on a shared
+    filesystem (SURVEY §1 cross-stage data flow: FME/pipeline.py:628-650
+    -> others/utils.py:116 -> CPE/pipeline.py:233); here each stage's
+    output feeds the next directly in memory — the pipeline-parallel
+    handoff row of SURVEY §2.7 — while the pickle interchange is still
+    written for reference-format compatibility and resume.
+    """
+    from pathlib import Path
+    from tpu3drec.sfm import SfMPipeline
+
+    out = Path(output_dir)
+    # homography RANSAC filtering is the right gate for near-planar pair
+    # scoring, but it prunes valid correspondences of genuinely 3-D
+    # scenes; the SfM stage applies essential-matrix RANSAC itself, so
+    # the reconstruction chain feeds it unfiltered matches
+    pipe = create_pipeline(preset, {
+        "filtering": {"use_adaptive_filtering": False}})
+    summary = pipe.match_folder(folder, out / "matching",
+                                collect_results=True, **match_kw)
+    matches_data = summary.pop("matches_data")
+    image_info = summary.pop("image_info")
+
+    sfm = SfMPipeline(sfm_config)
+    recon = sfm.reconstruct(matches_data, image_info,
+                            output_dir=out / "sfm",
+                            chosen_images=chosen_images,
+                            checkpoint_dir=out / "sfm")
+    result: Dict[str, Any] = {
+        "matching": summary,
+        "reconstruction": recon,
+        "sfm_stats": recon.stats(),
+    }
+    if dense and recon.num_cameras >= 2:
+        from tpu3drec.pipelines.dense import run_dense_reconstruction
+        from tpu3drec.io.images import FolderImageSource
+        src = FolderImageSource(folder)
+        names = [n for n in recon.cameras]
+        images = src.loader.load_batch(
+            [m for m in src.get_metadata_list() if m.name in names])
+        result["dense"] = run_dense_reconstruction(
+            recon.to_legacy_format(), images, output_dir=out / "dense")
+    return result

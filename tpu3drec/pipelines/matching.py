@@ -176,11 +176,16 @@ class FeatureProcessingPipeline:
                      max_images: Optional[int] = None,
                      resize_to: Optional[Tuple[int, int]] = None,
                      base_name: str = "results",
-                     pairs: Optional[List] = None) -> Dict[str, Any]:
+                     pairs: Optional[List] = None,
+                     collect_results: bool = False) -> Dict[str, Any]:
         """Batch job over an image folder (pipeline.py:327-716).
 
         `pairs` overrides pair generation with an explicit subset — the
-        multi-host folder-sharding hook (parallel/multihost.py)."""
+        multi-host folder-sharding hook (parallel/multihost.py).
+        `collect_results` keeps every pair's reconstruction payload in
+        memory and returns it as summary['matches_data'] — the in-process
+        stage handoff that replaces the reference's pickle files (the
+        pickles are still written when auto_save=True)."""
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         batch_size = batch_size or self.config.get("pair_batch_size", 8)
@@ -205,6 +210,7 @@ class FeatureProcessingPipeline:
         stats = {"total_pairs": len(pairs), "completed": 0, "skipped": 0,
                  "failed": 0, "total_matches": 0}
         batch_results: Dict[Tuple[str, str], Dict] = {}
+        collected: Dict[Tuple[str, str], Dict] = {}
         batch_number = 0
         summaries: List[Dict] = []
 
@@ -226,7 +232,10 @@ class FeatureProcessingPipeline:
                     res = self.match(images[n1], images[n2], n1, n2)
                     best = res.get_best()
                     if best is not None:
-                        batch_results[(n1, n2)] = pair_data_from_result(best)
+                        pd = pair_data_from_result(best)
+                        batch_results[(n1, n2)] = pd
+                        if collect_results:
+                            collected[(n1, n2)] = pd
                         stats["total_matches"] += best.num_matches
                         summaries.append(res.summary())
                         if export_colmap and best.num_matches > 0:
@@ -263,6 +272,11 @@ class FeatureProcessingPipeline:
         if auto_save:
             (output_dir / "batch_summary.json").write_text(
                 json.dumps(summary, indent=2, default=str))
+        if collect_results:
+            summary["matches_data"] = collected
+            summary["image_info"] = {
+                m.name: {"name": m.name, "width": m.width,
+                         "height": m.height} for m in metas}
         return summary
 
     def _create_batch_summary(self, stats, summaries, wall_time,
