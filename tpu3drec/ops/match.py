@@ -34,10 +34,30 @@ def distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
     """(N, D), (M, D) -> (N, M) distances.
 
     metric='l2': Euclidean (not squared — matches cv2.BFMatcher NORM_L2).
+    metric='l2_int8': Euclidean over 8-bit-scale descriptors (SIFT-family,
+    values 0..255 like cv2's uint8 storage): descriptors are rounded,
+    shifted by -128 (distance-invariant) and multiplied as int8 on the
+    MXU with EXACT int32 accumulation — both faster than a
+    Precision.HIGHEST f32 matmul (which runs 6 bf16 passes) and free of
+    its rounding, at cv2's own quantization.
     metric='hamming_pm1': descriptors are +-1 encodings of bits; returns
     bit-flip counts.
     """
     d = desc1.shape[1]
+    if metric == "l2_int8":
+        q1 = (jnp.round(jnp.clip(desc1, 0.0, 255.0)) - 128.0) \
+            .astype(jnp.int8)
+        q2 = (jnp.round(jnp.clip(desc2, 0.0, 255.0)) - 128.0) \
+            .astype(jnp.int8)
+        dot = jax.lax.dot_general(
+            q1, q2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        n1 = jnp.sum(jnp.square(q1.astype(jnp.int32)), axis=1,
+                     keepdims=True)
+        n2 = jnp.sum(jnp.square(q2.astype(jnp.int32)), axis=1,
+                     keepdims=True)
+        d2 = n1 + n2.T - 2 * dot
+        return jnp.sqrt(jnp.maximum(d2, 0).astype(jnp.float32))
     # HIGHEST precision: TPU matmuls default to bfloat16, which flips
     # near-tie nearest neighbours and breaks ratio-test parity with cv2.
     dot = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
@@ -129,9 +149,19 @@ def knn2_blockwise(desc1: jnp.ndarray, desc2: jnp.ndarray,
 BLOCKWISE_THRESHOLD = 8192
 
 
+# detectors whose descriptors live on the SIFT 0..255 8-bit scale
+# (traditional_detectors.py: SIFT + the Harris/GFTT corner detectors use
+# SIFT descriptors); deep-net float descriptors stay in f32 matching
+_SIFT_SCALE_METHODS = frozenset(
+    {"SIFT", "Harris", "GFTT", "HarrisSIFT", "GoodFeaturesToTrack"})
+
+
 def _metric_for(feats: Features) -> str:
-    return ("hamming_pm1" if feats.desc_kind == DescriptorKind.BINARY.value
-            else "l2")
+    if feats.desc_kind == DescriptorKind.BINARY.value:
+        return "hamming_pm1"
+    if (feats.method or "").split("(")[0] in _SIFT_SCALE_METHODS:
+        return "l2_int8"
+    return "l2"
 
 
 @functools.partial(jax.jit, static_argnames=("ratio", "cross_check", "metric"))

@@ -378,8 +378,8 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
         # spurious ratio-test matches (ADVICE r1; OpenCV skips out-of-image
         # samples, and frame-edge keypoints rarely survive its border gates)
         rdesc = DESC_SCL_FCTR * (DESC_D + 1) * 0.5 * math.sqrt(2.0) * scl_oct
-        keep &= (jnp.minimum(xs, wh - 1 - xs) >= 0.5 * rdesc) \
-            & (jnp.minimum(ys, hh - 1 - ys) >= 0.5 * rdesc)
+        keep &= (jnp.minimum(xs, wh - 1 - xs) >= 0.45 * rdesc) \
+            & (jnp.minimum(ys, hh - 1 - ys) >= 0.45 * rdesc)
 
         if sampler == "pallas":
             # window-DMA dense kernel: one DMA per keypoint, no gathers
