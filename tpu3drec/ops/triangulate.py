@@ -246,9 +246,16 @@ def triangulate_two_view(pts1: jnp.ndarray, pts2: jnp.ndarray,
                          R2: jnp.ndarray, t2: jnp.ndarray,
                          mask: Optional[jnp.ndarray] = None,
                          config: TriangulationConfig = TriangulationConfig(),
+                         depth_bounds: Optional[Tuple[jnp.ndarray,
+                                                      jnp.ndarray]] = None,
                          ) -> TriangulationResult:
     """Two-view triangulation with the reference's 4-stage filter
-    (triangulate_initial_points, triangulation.py:184-254, 896-1024)."""
+    (triangulate_initial_points, triangulation.py:184-254, 896-1024).
+
+    depth_bounds optionally overrides (config.min_depth, config.max_depth)
+    with TRACED scalars — the relaxed re-triangulation adapts bounds to
+    the accepted cloud per run, and baking those into the static config
+    would recompile the whole program every reconstruction."""
     n = pts1.shape[0]
     mask = jnp.ones((n,), bool) if mask is None else mask
     P1 = compose_projection(K1, R1, t1)
@@ -284,11 +291,13 @@ def triangulate_two_view(pts1: jnp.ndarray, pts2: jnp.ndarray,
     c2 = -(R2.T @ t2)
     ang = triangulation_angles(X, c1, c2)
 
+    lo, hi = ((jnp.float32(config.min_depth), jnp.float32(config.max_depth))
+              if depth_bounds is None else depth_bounds)
     ok = mask
-    ok &= (d1 > config.min_depth) & (d2 > config.min_depth)       # cheirality
+    ok &= (d1 > lo) & (d2 > lo)                                    # cheirality
     ok &= ang >= config.min_angle_deg                              # parallax
     ok &= jnp.maximum(e1, e2) <= config.max_reproj_px              # reproj
-    ok &= (d1 < config.max_depth) & (d2 < config.max_depth)       # bounds
+    ok &= (d1 < hi) & (d2 < hi)                                    # bounds
     ok &= jnp.all(jnp.isfinite(X), axis=1)
     return TriangulationResult(points=X, mask=ok, reproj_err=err,
                                angles_deg=ang, depths1=d1, depths2=d2)

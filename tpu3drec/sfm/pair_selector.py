@@ -76,12 +76,22 @@ def score_pair(correspondences: np.ndarray,
     import jax
     import jax.numpy as jnp
     from tpu3drec.ops.geometry import find_fundamental
-    rr = find_fundamental(jnp.asarray(p1), jnp.asarray(p2),
+    # pad to a coarse capacity bucket: each distinct correspondence count
+    # would otherwise trace+compile its own F-RANSAC program (seconds per
+    # shape on the remote-compile TPU path)
+    cap = 512
+    while cap < n:
+        cap *= 4
+    p1p = np.zeros((cap, 2), np.float32)
+    p2p = np.zeros((cap, 2), np.float32)
+    p1p[:n], p2p[:n] = p1, p2
+    rr = find_fundamental(jnp.asarray(p1p), jnp.asarray(p2p),
+                          mask=jnp.asarray(np.arange(cap) < n),
                           threshold=config.ransac_threshold,
                           num_hypotheses=256,
                           key=jax.random.PRNGKey(key_seed))
     inlier_ratio = float(rr.inlier_ratio) if bool(rr.success) else 0.0
-    inl = np.asarray(rr.inliers)
+    inl = np.asarray(rr.inliers)[:n]
 
     s_matches = min(n / config.target_matches, 1.0)
     s_dist = 0.5 * (_spatial_distribution_score(p1, image_size)

@@ -76,10 +76,15 @@ class SfMConfig:
         return self.mine_tolerance_ladder[0]
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
+def _bucket(n: int, minimum: int = 512, factor: int = 4) -> int:
+    """Pad-capacity bucket. Coarse buckets (512, 2048, 8192, ...) on
+    purpose: every distinct capacity costs a fresh trace + remote
+    compile/load of the RANSAC programs (~15-35 s each for the 5-point
+    solver even with a warm compile cache); padding waste is millisecond
+    noise next to that."""
     b = minimum
     while b < n:
-        b *= 2
+        b *= factor
     return b
 
 
@@ -313,9 +318,7 @@ class SfMPipeline:
             lo, hi = np.percentile(depths, [2, 98])
             relaxed = TriangulationConfig(
                 min_angle_deg=self.config.relaxed_angle_deg,
-                max_reproj_px=self.config.relaxed_reproj_px,
-                min_depth=float(max(lo * 0.5, 1e-3)),
-                max_depth=float(hi * 2.0))
+                max_reproj_px=self.config.relaxed_reproj_px)
             cam2 = recon.cameras[name2]
             tri2 = triangulate_two_view(
                 p1, p2, jnp.asarray(recon.cameras[name1].K.astype(np.float32)),
@@ -323,7 +326,11 @@ class SfMPipeline:
                 jnp.eye(3), jnp.zeros(3),
                 jnp.asarray(cam2.R.astype(np.float32)),
                 jnp.asarray(cam2.t.astype(np.float32)),
-                mask=jnp.asarray(rej), config=relaxed)
+                mask=jnp.asarray(rej), config=relaxed,
+                # adaptive depth bounds ride as traced scalars — static
+                # config fields would recompile per reconstruction
+                depth_bounds=(jnp.float32(max(lo * 0.5, 1e-3)),
+                              jnp.float32(hi * 2.0)))
             sel2 = np.where(np.asarray(tri2.mask))[0]
             ids2 = recon.add_points_batch(np.asarray(tri2.points)[sel2])
             recon.add_observations_batch(name1, ids2, p1n[sel2])
