@@ -106,9 +106,25 @@ def find_essential(pts1: jnp.ndarray, pts2: jnp.ndarray,
     f_mean = 0.25 * (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1])
     thr_norm = threshold_px / f_mean
 
+    # The RANSAC core always runs at one internal capacity: tracing +
+    # remote-compiling the hypothesis solver (especially 5-point) costs
+    # tens of seconds PER SHAPE, and RANSAC's inlier estimate converges
+    # long before 512 correspondences anyway. The final model is scored
+    # and refit on the FULL set below.
+    SAMPLE_CAP = 512
+    if n > SAMPLE_CAP:
+        kg, key = jax.random.split(key)
+        g = jax.random.gumbel(kg, (n,), jnp.float32) \
+            + jnp.log(mask.astype(jnp.float32) + 1e-30)
+        _, sub = jax.lax.top_k(g, SAMPLE_CAP)
+        p1s, p2s = p1n[sub], p2n[sub]
+        masks = mask[sub]
+    else:
+        p1s, p2s, masks = p1n, p2n, mask
+
     if method == "5point":
         from tpu3drec.ops.five_point import solve_essential_5pt
-        res = ransac(p1n, p2n, mask, key,
+        res = ransac(p1s, p2s, masks, key,
                      solver=solve_essential_5pt,
                      residual_fn=sampson_error,
                      sample_size=5,
@@ -119,24 +135,28 @@ def find_essential(pts1: jnp.ndarray, pts2: jnp.ndarray,
         def solver(a, b):
             return solve_essential_8pt(a, b)
 
-        res = ransac(p1n, p2n, mask, key,
+        res = ransac(p1s, p2s, masks, key,
                      solver=solver, residual_fn=sampson_error,
                      sample_size=8, num_hypotheses=num_hypotheses,
                      threshold=float(thr_norm))
-    E, inl = res.model, res.inliers
+    E = res.model
+    # score the winning model on the full set
+    r_full = sampson_error(E, p1n, p2n)
+    inl = (r_full <= thr_norm ** 2) & mask
+    num0 = jnp.sum(inl.astype(jnp.int32))
     if refit:
         E2, ok = solve_essential_8pt(p1n, p2n, inl.astype(p1n.dtype))
         r2 = sampson_error(E2, p1n, p2n)
         inl2 = (r2 <= thr_norm ** 2) & mask
-        better = ok & (jnp.sum(inl2) >= res.num_inliers) & res.success
+        better = ok & (jnp.sum(inl2) >= num0) & res.success
         E = jnp.where(better, E2, E)
         inl = jnp.where(better, inl2, inl)
-        res = res._replace(residuals=jnp.where(better, r2, res.residuals))
+        r_full = jnp.where(better, r2, r_full)
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
     num = jnp.sum(inl.astype(jnp.int32))
     return EssentialResult(E=E, inliers=inl, num_inliers=num,
                            inlier_ratio=num / n_valid,
-                           success=res.success, residuals=res.residuals)
+                           success=res.success, residuals=r_full)
 
 
 def essential_quality(E: jnp.ndarray) -> dict:

@@ -196,15 +196,42 @@ class Reconstruction:
         if not optimize_intrinsics:
             pm[:, 6:] = 0.0
 
+        # pad every axis to coarse buckets: incremental SfM grows C/P/M
+        # each view and exact shapes would recompile the whole BA program
+        # every time (seconds per shape through the remote-compile path).
+        # Padded cameras are frozen via param_mask, padded points via
+        # point_mask, padded observations via obs_mask.
+        def _buck(n, minimum, factor=4):
+            b = minimum
+            while b < n:
+                b *= factor
+            return b
+
+        C, P, M = len(names), len(pts), len(obs_cam)
+        Cp = _buck(max(C, 1), 8, 2)
+        Pp = _buck(max(P, 1), 1024)
+        Mp = _buck(max(M, 1), 4096)
+        cams_p = np.zeros((Cp, 10), np.float32)
+        cams_p[:C] = cams
+        cams_p[C:, 6:8] = 1.0  # benign fx, fy for frozen pad cameras
+        pts_p = np.zeros((Pp, 3), np.float32)
+        pts_p[:P] = pts
+        pm_p = np.zeros((Cp, 10), np.float32)
+        pm_p[:C] = pm
+        oc = np.zeros(Mp, np.int32)
+        op = np.zeros(Mp, np.int32)
+        ouv = np.zeros((Mp, 2), np.float32)
+        oc[:M], op[:M], ouv[:M] = obs_cam, obs_pt, obs_uv
+
         prob = BAProblem(
-            cam_params=jnp.asarray(cams),
-            points=jnp.asarray(pts),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_pt=jnp.asarray(obs_pt),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_mask=jnp.ones(len(obs_cam), bool),
-            param_mask=jnp.asarray(pm),
-            point_mask=jnp.ones(len(pts), bool),
+            cam_params=jnp.asarray(cams_p),
+            points=jnp.asarray(pts_p),
+            obs_cam=jnp.asarray(oc),
+            obs_pt=jnp.asarray(op),
+            obs_uv=jnp.asarray(ouv),
+            obs_mask=jnp.asarray(np.arange(Mp) < M),
+            param_mask=jnp.asarray(pm_p),
+            point_mask=jnp.asarray(np.arange(Pp) < P),
         )
         return prob, names
 
