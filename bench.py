@@ -205,7 +205,7 @@ def main():
     import os
     H, W = 480, 640
     MAX_FEATURES = 2048
-    BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
 
     pair_fn = _make_pair_fn(max_features=MAX_FEATURES, num_hypotheses=256)
@@ -229,7 +229,7 @@ def main():
     pairs_per_s = BATCH / dt
 
     print(json.dumps({
-        "metric": "pairs/s SIFT detect+match+RANSAC (2K kpts, 640x480, batch 8)",
+        "metric": f"pairs/s SIFT detect+match+RANSAC (2K kpts, 640x480, batch {BATCH})",
         "value": round(pairs_per_s, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
