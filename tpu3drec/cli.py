@@ -107,6 +107,19 @@ def _cmd_compat_matrix(args) -> int:
     return 0
 
 
+def _cmd_auto(args) -> int:
+    from tpu3drec.api import reconstruct_folder
+    result = reconstruct_folder(
+        args.images, args.output, preset=args.preset, dense=args.dense,
+        pair_mode=args.pair_mode, pair_window=args.pair_window)
+    recon = result["reconstruction"]
+    print(json.dumps({"cameras": recon.num_cameras,
+                      "points": recon.num_points,
+                      "observations": recon.num_observations,
+                      "output": str(args.output)}, indent=2))
+    return 0 if recon.num_cameras >= 2 else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tpu3drec",
                                 description=__doc__.split("\n")[0])
@@ -157,6 +170,18 @@ def build_parser() -> argparse.ArgumentParser:
     cm = sub.add_parser("compat-matrix",
                         help="print the detector/matcher compatibility matrix")
     cm.set_defaults(fn=_cmd_compat_matrix)
+
+    au = sub.add_parser(
+        "auto", help="end-to-end: matching -> SfM [-> dense] in one run "
+        "(in-process stage handoff)")
+    au.add_argument("images")
+    au.add_argument("output")
+    au.add_argument("--preset", default="balanced")
+    au.add_argument("--pair-mode", default="consecutive",
+                    choices=["consecutive", "first", "all"])
+    au.add_argument("--pair-window", type=int, default=2)
+    au.add_argument("--dense", action="store_true")
+    au.set_defaults(fn=_cmd_auto)
     return p
 
 
