@@ -58,12 +58,19 @@ def distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
                      keepdims=True)
         d2 = n1 + n2.T - 2 * dot
         return jnp.sqrt(jnp.maximum(d2, 0).astype(jnp.float32))
+    if metric == "hamming_pm1":
+        # +-1 bit encodings are exact in int8; int32-accumulated MXU
+        # matmul gives exact bit-flip counts at int8 speed
+        q1 = desc1.astype(jnp.int8)
+        q2 = desc2.astype(jnp.int8)
+        dot = jax.lax.dot_general(
+            q1, q2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (d - dot).astype(jnp.float32) * 0.5
     # HIGHEST precision: TPU matmuls default to bfloat16, which flips
     # near-tie nearest neighbours and breaks ratio-test parity with cv2.
     dot = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    if metric == "hamming_pm1":
-        return (d - dot) * 0.5
     if metric == "l2":
         sq1 = jnp.sum(desc1 * desc1, axis=1, keepdims=True)
         sq2 = jnp.sum(desc2 * desc2, axis=1, keepdims=True)
