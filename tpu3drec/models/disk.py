@@ -7,8 +7,15 @@ and dense 128-d descriptors; inference keypoints are local maxima of the
 heatmap with top-K selection and bilinear descriptor sampling (same padded
 extraction contract as SuperPoint).
 
-Zero-egress environment: runs at random init for functional tests;
-`load_torch_weights` converts a published checkpoint when present.
+Checkpoint conversion is intentionally NOT provided: the published DISK
+backbone is a bespoke thin-U-Net whose exact block topology cannot be
+verified in this zero-egress environment, and a converter written
+against a guessed layout would silently load garbage. (The reference's
+own committed benchmark records DISK accuracy as 0.000 — its DISK path
+was broken; BASELINE.md.) SuperPoint and LightGlue have verified
+converters (tests/test_superpoint_parity.py, test_lightglue_parity.py);
+DISK follows the same harness pattern once its topology can be checked
+against the published source.
 """
 
 from __future__ import annotations
