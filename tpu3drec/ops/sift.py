@@ -136,16 +136,27 @@ def _refine_candidates(dog: jnp.ndarray, sel_s, sel_y, sel_x,
     dsx = 0.25 * (grab(1, 0, 1) - grab(1, 0, -1) - grab(-1, 0, 1) + grab(-1, 0, -1))
     dyx = 0.25 * (grab(0, 1, 1) - grab(0, 1, -1) - grab(0, -1, 1) + grab(0, -1, -1))
 
-    H = jnp.stack([
-        jnp.stack([dss, dsy, dsx], -1),
-        jnp.stack([dsy, dyy, dyx], -1),
-        jnp.stack([dsx, dyx, dxx], -1),
-    ], -2)
+    # closed-form symmetric 3x3 solve (Cramer / adjugate): XLA's batched
+    # small-matrix linalg.solve/det lower to scalar LU loops on TPU and
+    # dominated the whole selection stage (~45 ms per 16-image batch)
+    det = (dss * (dyy * dxx - dyx * dyx)
+           - dsy * (dsy * dxx - dyx * dsx)
+           + dsx * (dsy * dyx - dyy * dsx))
+    safe = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+    # adjugate of the symmetric Hessian [[dss,dsy,dsx],[dsy,dyy,dyx],
+    # [dsx,dyx,dxx]]
+    a00 = dyy * dxx - dyx * dyx
+    a01 = dsx * dyx - dsy * dxx
+    a02 = dsy * dyx - dsx * dyy
+    a11 = dss * dxx - dsx * dsx
+    a12 = dsy * dsx - dss * dyx
+    a22 = dss * dyy - dsy * dsy
+    off_s = -(a00 * d_s + a01 * d_y + a02 * d_x) * inv_det
+    off_y = -(a01 * d_s + a11 * d_y + a12 * d_x) * inv_det
+    off_x = -(a02 * d_s + a12 * d_y + a22 * d_x) * inv_det
+    off = jnp.stack([off_s, off_y, off_x], -1)
     g = jnp.stack([d_s, d_y, d_x], -1)
-    det = jnp.linalg.det(H)
-    Hsafe = jnp.where(jnp.abs(det)[:, None, None] > 1e-12, H,
-                      jnp.eye(3, dtype=H.dtype))
-    off = -jnp.linalg.solve(Hsafe, g[..., None])[..., 0]
     off = jnp.clip(off, -0.5, 0.5)
 
     contrast = v + 0.5 * jnp.sum(g * off, axis=-1)
