@@ -48,17 +48,25 @@ def normalize_points(pts: jnp.ndarray, mask: Optional[jnp.ndarray] = None
     return centered * s, T
 
 
-def _smallest_singular_vector(A: jnp.ndarray) -> jnp.ndarray:
+def _smallest_singular_vector(A: jnp.ndarray,
+                              refine: bool = True) -> jnp.ndarray:
     """Right singular vector for the smallest singular value of A (m x n).
 
     Via eigh of A^T A — symmetric eigendecomposition is well-supported and
     fast on TPU (unlike general SVD of tall matrices under vmap). Forming
     A^T A squares the condition number, so two inverse-iteration steps
     refine the float32 eigenvector back to ~1e-6 relative accuracy.
+
+    refine=False skips the inverse iterations: XLA lowers batched small
+    linalg.solve to scalar LU loops on TPU, and RANSAC *hypothesis*
+    models only need scoring accuracy (the winner is refit with full
+    refinement afterwards).
     """
     AtA = A.T @ A
     _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     v = vecs[:, 0]
+    if not refine:
+        return v
     n = AtA.shape[0]
     ridge = 1e-7 * jnp.trace(AtA) / n
     M = AtA + ridge * jnp.eye(n, dtype=AtA.dtype)
@@ -72,13 +80,28 @@ def _smallest_singular_vector(A: jnp.ndarray) -> jnp.ndarray:
 # homography
 # ---------------------------------------------------------------------
 
+def _similarity_inv(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a normalize_points similarity
+    [[s,0,t0],[0,s,t1],[0,0,1]] — batched linalg.inv is scalar LU on TPU."""
+    s = T[0, 0]
+    inv_s = 1.0 / s
+    return jnp.array([[1.0, 0.0, 0.0],
+                      [0.0, 1.0, 0.0],
+                      [0.0, 0.0, 1.0]], T.dtype) \
+        .at[0, 0].set(inv_s).at[1, 1].set(inv_s) \
+        .at[0, 2].set(-T[0, 2] * inv_s).at[1, 2].set(-T[1, 2] * inv_s)
+
+
 def solve_homography_dlt(p1: jnp.ndarray, p2: jnp.ndarray,
-                         w: Optional[jnp.ndarray] = None
+                         w: Optional[jnp.ndarray] = None,
+                         fast: bool = False,
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DLT homography from >=4 correspondences (p1 -> p2). Returns (H, valid).
 
     Works for the minimal 4-point case (RANSAC hypotheses) and the weighted
-    overdetermined case (inlier refit) alike.
+    overdetermined case (inlier refit) alike. fast=True skips the
+    inverse-iteration eigenvector polish (per-hypothesis RANSAC path:
+    scoring accuracy only; the winner is refit with fast=False).
     """
     n = p1.shape[0]
     p1n, T1 = normalize_points(p1, w)
@@ -93,9 +116,9 @@ def solve_homography_dlt(p1: jnp.ndarray, p2: jnp.ndarray,
     if w is not None:
         ww = jnp.sqrt(jnp.concatenate([w, w], axis=0).astype(A.dtype))
         A = A * ww[:, None]
-    h = _smallest_singular_vector(A)
+    h = _smallest_singular_vector(A, refine=not fast)
     Hn = h.reshape(3, 3)
-    H = jnp.linalg.inv(T2) @ Hn @ T1
+    H = _similarity_inv(T2) @ Hn @ T1
     scale = H[2, 2]
     valid = jnp.abs(scale) > 1e-10
     H = H / jnp.where(valid, scale, 1.0)
@@ -114,7 +137,7 @@ def homography_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray,
 
 
 def _h_solver(p1, p2):
-    return solve_homography_dlt(p1, p2)
+    return solve_homography_dlt(p1, p2, fast=True)
 
 
 def find_homography(pts1: jnp.ndarray, pts2: jnp.ndarray,
@@ -155,9 +178,14 @@ def find_homography(pts1: jnp.ndarray, pts2: jnp.ndarray,
 # ---------------------------------------------------------------------
 
 def solve_fundamental_8pt(p1: jnp.ndarray, p2: jnp.ndarray,
-                          w: Optional[jnp.ndarray] = None
+                          w: Optional[jnp.ndarray] = None,
+                          fast: bool = False,
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Normalized 8-point fundamental matrix (p2^T F p1 = 0). Returns (F, valid)."""
+    """Normalized 8-point fundamental matrix (p2^T F p1 = 0). Returns (F, valid).
+
+    fast=True (RANSAC hypothesis path) skips the eigenvector polish and
+    the rank-2 SVD projection — minimal-sample solutions are near rank-2
+    and only score inliers; the refit enforces both."""
     p1n, T1 = normalize_points(p1, w)
     p2n, T2 = normalize_points(p2, w)
     x, y = p1n[:, 0], p1n[:, 1]
@@ -166,11 +194,12 @@ def solve_fundamental_8pt(p1: jnp.ndarray, p2: jnp.ndarray,
     A = jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, one], axis=1)
     if w is not None:
         A = A * jnp.sqrt(w.astype(A.dtype))[:, None]
-    f = _smallest_singular_vector(A)
+    f = _smallest_singular_vector(A, refine=not fast)
     Fn = f.reshape(3, 3)
-    # rank-2 projection
-    U, S, Vt = jnp.linalg.svd(Fn)
-    Fn = (U * jnp.array([S[0], S[1], 0.0])) @ Vt
+    if not fast:
+        # rank-2 projection
+        U, S, Vt = jnp.linalg.svd(Fn)
+        Fn = (U * jnp.array([S[0], S[1], 0.0])) @ Vt
     F = T2.T @ Fn @ T1
     norm = jnp.linalg.norm(F)
     valid = norm > 1e-12
@@ -191,7 +220,7 @@ def sampson_error(F: jnp.ndarray, pts1: jnp.ndarray,
 
 
 def _f_solver(p1, p2):
-    return solve_fundamental_8pt(p1, p2)
+    return solve_fundamental_8pt(p1, p2, fast=True)
 
 
 def find_fundamental(pts1: jnp.ndarray, pts2: jnp.ndarray,
