@@ -136,7 +136,11 @@ def solve_pnp_ransac(X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
             r = resid(pp)
             J = jax.jacfwd(resid)(pp)
             JtJ = J.T @ J + 1e-8 * jnp.eye(6, dtype=pp.dtype)
-            pn = pp + jnp.linalg.solve(JtJ, -(J.T @ r))
+            # SPD solve via eigh: batched LU (linalg.solve) lowers to
+            # scalar loops on TPU and this runs per RANSAC hypothesis
+            lam, V = jnp.linalg.eigh(JtJ)
+            b = -(J.T @ r)
+            pn = pp + V @ ((V.T @ b) / jnp.maximum(lam, 1e-10))
             better = jnp.sum(resid(pn) ** 2) < jnp.sum(r ** 2)
             return jnp.where(better, pn, pp), None
 
