@@ -85,3 +85,25 @@ def test_reconstruct_folder_end_to_end(tmp_path):
     assert (out / "matching" / "batch_summary.json").exists()
     assert list((out / "matching").glob("results_batch_*.pkl"))
     assert (out / "sfm" / "camera_poses.json").exists()
+
+
+@pytest.mark.slow
+def test_reconstruct_folder_with_dense_stage(tmp_path):
+    """Full chain including the dense stage: the handoff from SfM's
+    legacy-format export into stereo + TSDF must run end-to-end and
+    write artifacts (quality on a splat scene is not asserted — this is
+    the plumbing/robustness gate)."""
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    render_splat_views(folder, n_views=3)
+    out = tmp_path / "out"
+    result = tpu3drec.reconstruct_folder(
+        folder, out, preset="fast", dense=True,
+        pair_mode="consecutive", pair_window=2)
+    assert result["reconstruction"].num_cameras >= 2
+    assert "dense" in result
+    dense = result["dense"]
+    assert dense["mesh"]["method"] in ("tsdf", "depth_grid")
+    assert (out / "dense" / "fused_depth.npy").exists()
+    assert (out / "dense" / "point_cloud.ply").exists()
+    assert (out / "dense" / "mesh.obj").exists()
