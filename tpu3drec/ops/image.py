@@ -113,8 +113,8 @@ def gaussian_blur_matmul(img: jnp.ndarray, sigma: float,
                          radius: int = None) -> jnp.ndarray:
     """Gaussian blur as two MXU matmuls: B_h @ img @ B_w^T.
 
-    Numerically identical to `gaussian_blur` (same taps, same reflect
-    boundary) but ~2 orders of magnitude faster on TPU, where single-
+    Same taps and reflect boundary as `gaussian_blur` but ~2 orders of
+    magnitude faster on TPU, where single-
     channel convs can't tile onto the MXU. Used by the scale-space
     detectors (SIFT/AKAZE); `gaussian_blur` remains for parity tests.
     """
@@ -124,9 +124,12 @@ def gaussian_blur_matmul(img: jnp.ndarray, sigma: float,
     Bh = _band_matrix(h, float(sigma), radius)
     Bw = _band_matrix(w, float(sigma), radius)
     out = jnp.dot(Bh, img, preferred_element_type=jnp.float32,
-                  precision=lax.Precision.HIGHEST)
+                  precision=lax.Precision.HIGH)
+    # HIGH (3-pass bf16, ~1e-6 relative error) instead of HIGHEST (6
+    # passes): measured quality-neutral on the warp oracle (144 matches
+    # @ 0.977 inlier ratio either way) and 73.9 -> 85.0 pairs/s
     return jnp.dot(out, Bw.T, preferred_element_type=jnp.float32,
-                   precision=lax.Precision.HIGHEST)
+                   precision=lax.Precision.HIGH)
 
 
 def sobel_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
