@@ -136,7 +136,49 @@ def homography_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray,
     return jnp.where(bad, 1e12, err)
 
 
+def _adj3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate of a 3x3 (inverse up to 1/det — exactly what
+    projective quantities need, with zero linalg ops)."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    return jnp.array([
+        [e * i - f * h, c * h - b * i, b * f - c * e],
+        [f * g - d * i, a * i - c * g, c * d - a * f],
+        [d * h - e * g, b * g - a * h, a * e - b * d],
+    ], M.dtype)
+
+
+def _homography_4pt_closed(p1: jnp.ndarray, p2: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact minimal 4-point homography via the projective-basis method:
+    B maps the canonical basis e1,e2,e3,e1+e2+e3 to the 4 points
+    (columns lambda_i * p_i with lambda = M^-1 p4), so H = B2 adj(B1).
+    Pure closed form — the per-hypothesis eigh(9x9) of the DLT route
+    dominated RANSAC on TPU."""
+
+    p1n, T1 = normalize_points(p1)
+    p2n, T2 = normalize_points(p2)
+
+    def basis(p):
+        ph = jnp.concatenate([p, jnp.ones((4, 1), p.dtype)], axis=1)
+        M = ph[:3].T                          # (3, 3) columns p1..p3
+        lam = _adj3(M) @ ph[3]                # ~ det(M) * M^-1 p4
+        return M * lam[None, :], lam
+
+    B1, lam1 = basis(p1n)
+    B2, lam2 = basis(p2n)
+    H = _similarity_inv(T2) @ (B2 @ _adj3(B1)) @ T1
+    scale = H[2, 2]
+    ok = (jnp.min(jnp.abs(lam1)) > 1e-12) & (jnp.min(jnp.abs(lam2)) > 1e-12) \
+        & (jnp.abs(scale) > 1e-12)
+    H = H / jnp.where(ok, scale, 1.0)
+    return H, ok & jnp.all(jnp.isfinite(H))
+
+
 def _h_solver(p1, p2):
+    if p1.shape[0] == 4:
+        return _homography_4pt_closed(p1, p2)
     return solve_homography_dlt(p1, p2, fast=True)
 
 
