@@ -211,9 +211,42 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
     # meta arrays ride flattened: 2-D SMEM operands are padded to 128
     # lanes per row (1280 keypoints cost 640 KB of the 1 MB SMEM)
     k = pl.program_id(0)
+    nk = pl.num_programs(0)
     ib = 4 * k
     fb = 8 * k
     valid = imeta_ref[ib + 3]
+    slot = jax.lax.rem(k, 2)
+
+    def _dma_pair(j, s):
+        """The two window copies for keypoint j into buffer slot s."""
+        jb = 4 * j
+        if _DMA_MODE == "static":
+            layj = 0
+            y0j = 0
+            x0j = 0
+        else:
+            x0j = pl.multiple_of(imeta_ref[jb + 0], 128)
+            y0j = pl.multiple_of(imeta_ref[jb + 1], 8)
+            layj = imeta_ref[jb + 2]
+        src = (dxs_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)],
+               dys_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)])
+        return [pltpu.make_async_copy(src[ch], win_ref.at[s, ch],
+                                      sem_ref.at[s, ch])
+                for ch in (0, 1)]
+
+    if _DMA_MODE != "none":
+        # double buffering: program k-1 already started slot k%2 for
+        # keypoint k; we start slot (k+1)%2 for keypoint k+1 before
+        # computing, so the next window streams in under our compute.
+        @pl.when((k == 0) & (valid > 0))
+        def _():
+            for cp in _dma_pair(k, slot):
+                cp.start()
+
+        @pl.when((k + 1 < nk) & (imeta_ref[4 * (k + 1) + 3] > 0))
+        def _():
+            for cp in _dma_pair(k + 1, jax.lax.rem(k + 1, 2)):
+                cp.start()
 
     angle_ref[...] = jnp.zeros_like(angle_ref)
     desc_ref[...] = jnp.zeros_like(desc_ref)
@@ -222,7 +255,6 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
     def _():
         x0 = pl.multiple_of(imeta_ref[ib + 0], 128)
         y0 = pl.multiple_of(imeta_ref[ib + 1], 8)
-        lay = imeta_ref[ib + 2]
         x = fmeta_ref[fb + 0]
         y = fmeta_ref[fb + 1]
         scl = fmeta_ref[fb + 2]
@@ -230,20 +262,8 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
         h_real = fmeta_ref[fb + 4]
 
         if _DMA_MODE != "none":
-            if _DMA_MODE == "static":
-                lay_d, y0_d, x0_d = 0, 0, 0
-            else:
-                lay_d, y0_d, x0_d = lay, y0, x0
-            cp_dx = pltpu.make_async_copy(
-                dxs_ref.at[lay_d, pl.ds(y0_d, WIN_H), pl.ds(x0_d, WIN_W)],
-                win_ref.at[0], sem_ref.at[0])
-            cp_dy = pltpu.make_async_copy(
-                dys_ref.at[lay_d, pl.ds(y0_d, WIN_H), pl.ds(x0_d, WIN_W)],
-                win_ref.at[1], sem_ref.at[1])
-            cp_dx.start()
-            cp_dy.start()
-            cp_dx.wait()
-            cp_dy.wait()
+            for cp in _dma_pair(k, slot):
+                cp.wait()
 
         rxi = jnp.round(x)
         ryi = jnp.round(y)
@@ -258,7 +278,7 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
         lshift = xoff - 64  # lanes to rotate left
 
         def center(ch):
-            rows = win_ref[ch, pl.ds(row0, CORE_H), :]        # (88, 256)
+            rows = win_ref[slot, ch, pl.ds(row0, CORE_H), :]  # (88, 256)
             # dynamic rotate is 32-bit only: widen before rolling
             rolled = pltpu.roll(rows.astype(jnp.float32), -lshift, 1)
             return rolled[:, :CORE_W]                         # (88, 128)
@@ -295,7 +315,7 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
                 jnp.clip(((yoff - ORI_H // 2) // 8) * 8, 0, WIN_H - ORI_H), 8)
 
             def center_band(ch):
-                rows = win_ref[ch, pl.ds(row0b, ORI_H), :]
+                rows = win_ref[slot, ch, pl.ds(row0b, ORI_H), :]
                 rolled = pltpu.roll(rows.astype(jnp.float32), -lshift, 1)
                 return rolled[:, :CORE_W]
 
@@ -463,8 +483,9 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_H, WIN_W), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            # (slot, channel, rows, lanes): double-buffered windows
+            pltpu.VMEM((2, 2, WIN_H, WIN_W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     angle, raw = pl.pallas_call(
