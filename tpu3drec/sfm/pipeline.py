@@ -25,6 +25,7 @@ import dataclasses
 import json
 import pickle
 import time
+import zlib
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -576,11 +577,15 @@ class SfMPipeline:
                 p1 = jnp.asarray(_pad2(a_f, cap))
                 p2 = jnp.asarray(_pad2(b_f, cap))
                 mask = jnp.asarray(np.arange(cap) < m)
+                # crc32, not hash(): python string hashes are salted
+                # per process and would make reconstructions
+                # non-deterministic across runs
                 eres = find_essential(
                     p1, p2, K_a, K_bj, mask=mask,
                     threshold_px=cfg.essential_threshold_px,
                     method=cfg.essential_method,
-                    key=jax.random.PRNGKey(hash(boot) & 0x7FFFFFFF))
+                    key=jax.random.PRNGKey(
+                        zlib.crc32(boot.encode()) & 0x7FFFFFFF))
                 if not bool(eres.success) or int(eres.num_inliers) < 15:
                     continue
                 R_rel, t_rel, _ = recover_pose(eres.E, p1, p2, K_a, K_bj,
