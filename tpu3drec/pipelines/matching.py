@@ -57,6 +57,9 @@ class FeatureProcessingPipeline:
             raise ValueError(
                 f"no available detectors among {self.config['methods']}")
         self._feature_cache: Dict[Tuple[str, str], Features] = {}
+        # compiled-program caches for the batched folder engine
+        self._batched_det = {}
+        self._batched_match = {}
 
     # -- single pair ---------------------------------------------------
 
@@ -166,6 +169,140 @@ class FeatureProcessingPipeline:
 
     # -- folder batch ----------------------------------------------------
 
+    # -- batched folder engine -------------------------------------------
+
+    def _match_pairs_batched(self, images: Dict[str, np.ndarray],
+                             pairs: Sequence[Tuple[str, str]]
+                             ) -> Dict[Tuple[str, str], MatchingResult]:
+        """Whole-batch pair matching in two device dispatches.
+
+        The reference's folder loop dispatches detect+match per pair
+        (FME/pipeline.py:570-660). Here the batch's unique images detect
+        as ONE vmapped program and all pairs match+filter as ONE more —
+        on the remote-TPU path each dispatch costs ~30 ms of round-trip
+        alone, so this is the serving-throughput shape of the pipeline
+        (single-method, uniform image sizes; match_folder falls back to
+        the per-pair path otherwise). Programs are cached per shape so
+        batches reuse compilations.
+        """
+        import jax
+        import jax.numpy as jnp
+        from tpu3drec.api import (
+            _get_detector_registry, _detector_params, prepare_image,
+        )
+        from tpu3drec.ops.match import _match_impl, _metric_for
+        from tpu3drec.ops.geometry import (
+            find_homography, reprojection_error_homography,
+        )
+        from tpu3drec.core.types import ScoreType
+
+        method = self.methods[0]
+        filtering = self.config.get("filtering", {})
+        thr = float(filtering.get("ransac_threshold", 4.0))
+        use_filter = filtering.get("use_adaptive_filtering", True)
+        matcher = (self.config.get("matcher_config") or {}).get(
+            method, "auto")
+        mp = dict(MATCHER_SPECIFIC_CONFIGS.get(matcher, {}))
+        mp.update((self.config.get("matcher_params") or {}).get(method, {}))
+        ratio = float(mp.get("ratio_threshold", 0.75))
+        cross = bool(mp.get("cross_check", False))
+
+        names = sorted({n for p in pairs for n in p})
+        t0 = time.perf_counter()
+        host_imgs = [np.asarray(prepare_image(images[n])) for n in names]
+        # pad unique-image count to a small bucket (program reuse)
+        u_pad = -(-len(host_imgs) // 4) * 4
+        stack = jnp.asarray(np.stack(
+            host_imgs + [host_imgs[0]] * (u_pad - len(host_imgs))))
+
+        det_key = (method, stack.shape)
+        if det_key not in self._batched_det:
+            registry = _get_detector_registry()
+            det = registry[method]
+            params = _detector_params(method, self.config, None)
+            self._batched_det[det_key] = jax.jit(
+                jax.vmap(lambda im: det(im, **params)))
+        feats = self._batched_det[det_key](stack)
+        np.asarray(feats.mask)  # materialize detection
+        t1 = time.perf_counter()
+
+        # host-side per-image Features views go into the shared cache
+        feats_np = jax.tree.map(np.asarray, feats)
+        per_image = {}
+        for i, n in enumerate(names):
+            fi = jax.tree.map(lambda a, i=i: a[i], feats_np)
+            per_image[n] = fi
+            self._feature_cache[(n, method)] = fi
+
+        idx = {n: i for i, n in enumerate(names)}
+        b_real = len(pairs)
+        b_pad = max(self.config.get("pair_batch_size", 8), 8)
+        while b_pad < b_real:
+            b_pad *= 2
+        i1 = np.zeros(b_pad, np.int32)
+        i2 = np.zeros(b_pad, np.int32)
+        i1[:b_real] = [idx[a] for a, _ in pairs]
+        i2[:b_real] = [idx[b] for _, b in pairs]
+        f1 = jax.tree.map(lambda a: a[jnp.asarray(i1)], feats)
+        f2 = jax.tree.map(lambda a: a[jnp.asarray(i2)], feats)
+        metric = _metric_for(feats)
+
+        n_feat = feats.xy.shape[-2]   # per-image capacity (leading axis
+        # of this batched Features is the image batch, so .capacity lies)
+        match_key = (method, b_pad, n_feat, metric, ratio, cross, thr)
+        if match_key not in self._batched_match:
+            def pair_fn(xy1, d1, m1, xy2, d2, m2, key):
+                best, dist, ok = _match_impl(d1, d2, m1, m2, ratio,
+                                             cross, metric)
+                p1, p2 = xy1, xy2[best]
+                rr = find_homography(p1, p2, mask=ok, threshold=thr,
+                                     num_hypotheses=256, key=key)
+                err = reprojection_error_homography(rr.model, p1, p2,
+                                                    rr.inliers)
+                return (best, dist, ok, rr.model, rr.inliers,
+                        rr.num_inliers, rr.inlier_ratio, rr.success, err)
+
+            self._batched_match[match_key] = jax.jit(jax.vmap(pair_fn))
+
+        keys = jax.random.split(jax.random.PRNGKey(0), b_pad)
+        out = self._batched_match[match_key](
+            f1.xy, f1.desc, f1.mask, f2.xy, f2.desc, f2.mask, keys)
+        (best, dist, ok, H, inl, n_inl, inl_ratio, success, err) = \
+            [np.asarray(o) for o in out]
+        t2 = time.perf_counter()
+
+        det_share = (t1 - t0) / max(b_real, 1)
+        match_share = (t2 - t1) / max(b_real, 1)
+        results: Dict[Tuple[str, str], MatchingResult] = {}
+        cap = n_feat
+        for b, (n1, n2) in enumerate(pairs):
+            m = Matches(
+                idx1=np.arange(cap, dtype=np.int32),
+                idx2=best[b].astype(np.int32),
+                score=np.where(ok[b], dist[b], 0.0).astype(np.float32),
+                mask=ok[b],
+                score_type=ScoreType.DISTANCE.value,
+                method=method)
+            mr = MethodResult(
+                method=method,
+                features1=per_image[n1], features2=per_image[n2],
+                matches=m,
+                detection_time=det_share, matching_time=match_share)
+            if bool(success[b]):
+                if use_filter:
+                    mr.filtered_matches = m.replace(mask=inl[b])
+                mr.homography = H[b]
+                mr.inlier_ratio = float(inl_ratio[b])
+                mr.reprojection_error = float(err[b])
+            shape = tuple(np.asarray(images[n1]).shape[:2])
+            results[(n1, n2)] = MatchingResult(
+                results={method: mr},
+                image1_name=n1, image2_name=n2,
+                image1_shape=shape,
+                image2_shape=tuple(np.asarray(images[n2]).shape[:2]),
+                total_processing_time=det_share + match_share)
+        return results
+
     def match_folder(self, folder, output_dir,
                      pair_mode: str = "consecutive",
                      pair_window: int = 1,
@@ -177,7 +314,8 @@ class FeatureProcessingPipeline:
                      resize_to: Optional[Tuple[int, int]] = None,
                      base_name: str = "results",
                      pairs: Optional[List] = None,
-                     collect_results: bool = False) -> Dict[str, Any]:
+                     collect_results: bool = False,
+                     engine: str = "auto") -> Dict[str, Any]:
         """Batch job over an image folder (pipeline.py:327-716).
 
         `pairs` overrides pair generation with an explicit subset — the
@@ -185,7 +323,11 @@ class FeatureProcessingPipeline:
         `collect_results` keeps every pair's reconstruction payload in
         memory and returns it as summary['matches_data'] — the in-process
         stage handoff that replaces the reference's pickle files (the
-        pickles are still written when auto_save=True)."""
+        pickles are still written when auto_save=True).
+        `engine`: 'auto' uses the whole-batch vmapped path when the config
+        has a single method and the batch's images share one shape
+        (~2 device dispatches per batch instead of ~4 per pair);
+        'perpair' forces the reference-shaped loop."""
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         batch_size = batch_size or self.config.get("pair_batch_size", 8)
@@ -227,9 +369,19 @@ class FeatureProcessingPipeline:
             self._feature_cache = {k: v for k, v in self._feature_cache.items()
                                    if k[0] in live}
 
+            precomputed: Dict[Tuple[str, str], MatchingResult] = {}
+            if engine != "perpair" and len(self.methods) == 1:
+                shapes = {np.asarray(images[n]).shape[:2] for n in unique}
+                if len(shapes) == 1:
+                    try:
+                        precomputed = self._match_pairs_batched(images, todo)
+                    except Exception:
+                        precomputed = {}  # degrade to the per-pair path
+
             for (n1, n2) in todo:
                 try:
-                    res = self.match(images[n1], images[n2], n1, n2)
+                    res = precomputed.get((n1, n2)) \
+                        or self.match(images[n1], images[n2], n1, n2)
                     best = res.get_best()
                     if best is not None:
                         pd = pair_data_from_result(best)
