@@ -38,7 +38,9 @@ CAM_DIM = 10  # rvec(3) + tvec(3) + fx, fy, cx, cy
 
 
 class BAProblem(NamedTuple):
-    """Static-shape BA problem. All index arrays padded; obs_mask gates."""
+    """Static-shape BA problem. All index arrays padded; obs_mask gates.
+    bundle_adjust re-sorts observations by point id internally so the
+    point-indexed segment sums can run with indices_are_sorted=True."""
     cam_params: jnp.ndarray   # (C, 10)
     points: jnp.ndarray       # (P, 3)
     obs_cam: jnp.ndarray      # (M,) int32 camera index per observation
@@ -159,6 +161,15 @@ def bundle_adjust(prob: BAProblem,
     if solver == "auto":
         solver = "dense" if C <= 32 else "cg"
 
+    # sort observations by point id once: the point-indexed segment sums
+    # then run with indices_are_sorted=True (a sorted scatter lowers much
+    # better on TPU); sums are order-invariant so results are unchanged
+    order = jnp.argsort(prob.obs_pt)
+    prob = prob._replace(obs_cam=prob.obs_cam[order],
+                         obs_pt=prob.obs_pt[order],
+                         obs_uv=prob.obs_uv[order],
+                         obs_mask=prob.obs_mask[order])
+
     pmask = prob.param_mask
     if not config.optimize_intrinsics:
         pmask = pmask.at[:, 6:].set(0.0)
@@ -184,11 +195,13 @@ def bundle_adjust(prob: BAProblem,
         U = jax.ops.segment_sum(
             jnp.einsum("mri,mrj->mij", Jc, Jc), prob.obs_cam, C)  # (C,10,10)
         V = jax.ops.segment_sum(
-            jnp.einsum("mri,mrj->mij", Jp, Jp), prob.obs_pt, P)   # (P,3,3)
+            jnp.einsum("mri,mrj->mij", Jp, Jp), prob.obs_pt, P,
+            indices_are_sorted=True)                              # (P,3,3)
         gc = jax.ops.segment_sum(
             jnp.einsum("mri,mr->mi", Jc, -rw), prob.obs_cam, C)   # (C,10)
         gp = jax.ops.segment_sum(
-            jnp.einsum("mri,mr->mi", Jp, -rw), prob.obs_pt, P)    # (P,3)
+            jnp.einsum("mri,mr->mi", Jp, -rw), prob.obs_pt, P,
+            indices_are_sorted=True)                              # (P,3)
 
         # Marquardt damping (scale-invariant: multiplicative on diagonal)
         def damp(Bl, eps):
@@ -237,7 +250,8 @@ def bundle_adjust(prob: BAProblem,
             def matvec(x):                                        # x: (C,10)
                 xo = x[prob.obs_cam]                              # (M,10)
                 z = jax.ops.segment_sum(
-                    jnp.einsum("mij,mi->mj", Wm, xo), prob.obs_pt, P)
+                    jnp.einsum("mij,mi->mj", Wm, xo), prob.obs_pt, P,
+                    indices_are_sorted=True)
                 back = jax.ops.segment_sum(
                     jnp.einsum("mil,ml->mi", WVm, z[prob.obs_pt]),
                     prob.obs_cam, C)                              # (C,10)
@@ -290,7 +304,7 @@ def bundle_adjust(prob: BAProblem,
         # back-substitute points: dp = Vinv (gp - W^T dc)
         WTdc = jax.ops.segment_sum(
             jnp.einsum("mij,mi->mj", Wm, dc[prob.obs_cam]),
-            prob.obs_pt, P)                                        # (P,3)
+            prob.obs_pt, P, indices_are_sorted=True)               # (P,3)
         dp = jnp.einsum("pij,pj->pi", Vinv, gp - WTdc) * ptmask[:, None]
         return dc, dp, r
 
