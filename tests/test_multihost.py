@@ -80,8 +80,10 @@ _WORKER = textwrap.dedent("""
     mine = shard_pairs(pairs, nproc, pid)
     local = {{"pairs": float(len(mine)), "matches": 10.0 * (pid + 1)}}
     tot = global_pair_stats(local)
-    print("RESULT", json.dumps({{"pid": pid, "mine": len(mine),
-                                 "total": tot}}), flush=True)
+    # write to a file: stdout can interleave with jax/absl log lines
+    out_path = sys.argv[4]
+    with open(out_path, "w") as fh:
+        json.dump({{"pid": pid, "mine": len(mine), "total": tot}}, fh)
 """)
 
 
@@ -94,17 +96,16 @@ def test_two_process_dcn_collective(tmp_path):
     script.write_text(_WORKER.format(repo=str(Path(__file__).parent.parent)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    result_files = [tmp_path / f"result_{i}.json" for i in range(2)]
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(i), "2", addr],
+        [sys.executable, str(script), str(i), "2", addr,
+         str(result_files[i])],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         text=True) for i in range(2)]
     outs = [p.communicate(timeout=220)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
-    results = []
-    for out in outs:
-        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
-        results.append(json.loads(line[len("RESULT "):]))
+    results = [json.loads(f.read_text()) for f in result_files]
     # folder sharded: 7 pairs split 4/3; DCN-summed stats agree on both
     assert sorted(r["mine"] for r in results) == [3, 4]
     for r in results:
