@@ -7,10 +7,12 @@ TPU-native/host-hybrid replacement for the reference MeshGenerator
 data-dependent combinatorial op, not TPU work), Laplacian smoothing /
 simplification / repair (:229-304), per-vertex texture projection from
 calibrated views (:305-415) on device, mesh quality metrics (:416-503),
-and OBJ export (:598-621). Poisson/ball-pivoting are intentionally not
-cloned: the TPU-friendly dense path is depth-fusion meshing; a TSDF +
-marching-cubes reconstruction is the planned equivalent (see
-pipelines/dense.py docstring).
+and OBJ export (:598-621). Poisson (:29-86), ball pivoting (:87-143)
+and alpha shapes (:144-180) are TPU-native implicit-surface
+reconstructions in `ops/implicit.py` (spectral Poisson solve, exact
+MXU distance grids), re-exported here under the reference's names;
+TSDF fusion + marching tetrahedra (`ops/tsdf.py`) is the default dense
+meshing path.
 """
 
 from __future__ import annotations
@@ -219,6 +221,37 @@ def mesh_quality(verts: np.ndarray, faces: np.ndarray) -> Dict:
         "boundary_edges": int((counts == 1).sum()),
         "nonmanifold_edges": int((counts > 2).sum()),
     }
+
+
+def create_mesh_poisson(points: np.ndarray,
+                        normals: Optional[np.ndarray] = None,
+                        resolution: int = 96, **kw):
+    """Poisson surface reconstruction (mesh_generation.py:29-86).
+    Returns (vertices, faces). Spectral solve — see ops/implicit.py."""
+    from tpu3drec.ops.implicit import poisson_mesh
+    m = poisson_mesh(points, normals, resolution=resolution, **kw)
+    return m["verts"], m["faces"]
+
+
+def create_mesh_ball_pivoting(points: np.ndarray,
+                              normals: Optional[np.ndarray] = None,
+                              radius: Optional[float] = None,
+                              resolution: int = 96, **kw):
+    """Ball-pivoting equivalent (mesh_generation.py:87-143).
+    Returns (vertices, faces) — see ops/implicit.py."""
+    from tpu3drec.ops.implicit import ball_pivot_mesh
+    m = ball_pivot_mesh(points, normals, radius=radius,
+                        resolution=resolution, **kw)
+    return m["verts"], m["faces"]
+
+
+def create_mesh_alpha_shape(points: np.ndarray, alpha: float = 0.03,
+                            resolution: int = 96):
+    """Alpha-shape-equivalent surface (mesh_generation.py:144-180).
+    Returns (vertices, faces) — see ops/implicit.py."""
+    from tpu3drec.ops.implicit import alpha_surface_mesh
+    m = alpha_surface_mesh(points, alpha, resolution=resolution)
+    return m["verts"], m["faces"]
 
 
 def save_obj(path, verts: np.ndarray, faces: np.ndarray,

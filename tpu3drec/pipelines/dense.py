@@ -149,7 +149,11 @@ class DenseReconstructionPipeline:
         t_cloud = time.perf_counter()
 
         # ---- stage 3: mesh ---------------------------------------------
+        # mesh_method: tsdf (default) | poisson | ball_pivot | alpha |
+        # depth_grid (also the degraded-mode fallback), mirroring the
+        # reference's 4 MeshGenerator methods (mesh_generation.py:29-228)
         mesh_method_used = self.mesh_method
+        _implicit = {"poisson", "ball_pivot", "alpha"}
         if self.mesh_method == "tsdf":
             try:
                 from tpu3drec.ops.tsdf import tsdf_mesh
@@ -161,7 +165,29 @@ class DenseReconstructionPipeline:
                 verts, faces = tm["verts"], tm["faces"]
             except Exception:
                 mesh_method_used = "depth_grid"  # degraded mode
-        if mesh_method_used != "tsdf":
+        elif self.mesh_method in _implicit:
+            try:
+                nrm_np = (np.asarray(normals)[np.asarray(mask)]
+                          if normals is not None else None)
+                if nrm_np is not None and len(nrm_np) != len(pts_np):
+                    nrm_np = None  # voxel downsample broke lockstep
+                if self.mesh_method == "poisson":
+                    verts, faces = mesh_ops.create_mesh_poisson(
+                        pts_np, nrm_np, resolution=self.tsdf_resolution)
+                elif self.mesh_method == "ball_pivot":
+                    verts, faces = mesh_ops.create_mesh_ball_pivoting(
+                        pts_np, nrm_np, resolution=self.tsdf_resolution)
+                else:
+                    from tpu3drec.ops.implicit import _median_nn_spacing
+                    verts, faces = mesh_ops.create_mesh_alpha_shape(
+                        pts_np,
+                        alpha=max(3.0 * _median_nn_spacing(pts_np), 1e-6),
+                        resolution=self.tsdf_resolution)
+                if len(faces) == 0:
+                    mesh_method_used = "depth_grid"
+            except Exception:
+                mesh_method_used = "depth_grid"  # degraded mode
+        if mesh_method_used not in ("tsdf", *_implicit):
             verts, faces = mesh_ops.depth_map_to_mesh(
                 np.asarray(fused), K_ref, R_ref, t_ref,
                 valid=np.asarray(fused_valid), stride=self.mesh_stride)
