@@ -106,3 +106,38 @@ def test_graft_entry_contract():
     assert int(out["num_matches"]) >= 0
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_ring_knn2_matches_single_device():
+    """Ring-rotated (ppermute) 2-NN with BOTH sides sharded must be
+    exact vs the single-device reference."""
+    from tpu3drec.parallel.pairs import ring_knn2
+
+    rng = np.random.default_rng(3)
+    n, m, d = 64, 128, 32
+    d1 = rng.normal(size=(n, d)).astype(np.float32)
+    d2 = rng.normal(size=(m, d)).astype(np.float32)
+    m1 = rng.random(n) > 0.1
+    m2 = rng.random(m) > 0.1
+
+    ref_idx, ref_dist = knn2(jnp.asarray(d1), jnp.asarray(d2),
+                             jnp.asarray(m1), jnp.asarray(m2))
+
+    mesh = make_mesh(jax.devices()[:4], shape=(1, 4))
+
+    def f(d1_, d2_, m1_, m2_):
+        return ring_knn2(d1_, d2_, m1_, m2_)
+
+    sharded = shard_map(
+        f, mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
+                  P(MODEL_AXIS)),
+        out_specs=(P(MODEL_AXIS), P(MODEL_AXIS)), check_rep=False)
+    idx, dist = jax.jit(sharded)(jnp.asarray(d1), jnp.asarray(d2),
+                                 jnp.asarray(m1), jnp.asarray(m2))
+    idx = np.asarray(idx)
+    dist = np.asarray(dist)
+    valid = m1
+    np.testing.assert_array_equal(idx[valid], np.asarray(ref_idx)[valid])
+    np.testing.assert_allclose(dist[valid], np.asarray(ref_dist)[valid],
+                               rtol=1e-4, atol=1e-4)

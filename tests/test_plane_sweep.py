@@ -45,3 +45,52 @@ def test_plane_sweep_recovers_depth():
     assert m.mean() > 0.3
     rel_err = np.abs(d - depth)[m] / depth[m]
     assert np.median(rel_err) < 0.08, np.median(rel_err)
+
+
+def test_blockwise_plane_sweep_matches_full_wta():
+    """The slab-scanned sweep must reproduce the full-volume WTA +
+    parabolic-subpixel result exactly (the volume never materializes)."""
+    import jax
+    from tpu3drec.ops.stereo import (plane_sweep_depth_blockwise,
+                                     warp_perspective, box_blur)
+
+    rng = np.random.default_rng(1)
+    H, W = 48, 64
+    f, B = 60.0, 0.4
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    ref = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    other = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([-B, 0.02, 0.01], np.float32)
+    num_planes, min_d, max_d = 24, 2.0, 16.0
+
+    res = plane_sweep_depth_blockwise(
+        jnp.asarray(ref), jnp.asarray(other), jnp.asarray(K),
+        jnp.asarray(K), jnp.asarray(R), jnp.asarray(t),
+        min_depth=min_d, max_depth=max_d, num_planes=num_planes, slab=8)
+
+    # full-volume oracle: same costs, WTA + parabola in numpy
+    inv_depths = np.linspace(1.0 / min_d, 1.0 / max_d, num_planes)
+    n = np.array([0.0, 0.0, 1.0])
+    vol = []
+    for invd in inv_depths:
+        Hm = K @ (R + np.outer(t, n) * invd) @ np.linalg.inv(K)
+        warped = np.asarray(warp_perspective(
+            jnp.asarray(other), jnp.asarray(np.linalg.inv(Hm).astype(np.float32)),
+            (H, W)))
+        vol.append(np.asarray(box_blur(jnp.abs(jnp.asarray(ref) - warped), 5)))
+    vol = np.stack(vol)                                   # (D, H, W)
+    best_i = vol.argmin(0)
+    ii, jj = np.mgrid[0:H, 0:W]
+    best = vol[best_i, ii, jj]
+    interior = (best_i > 0) & (best_i < num_planes - 1)
+    cb = vol[np.clip(best_i - 1, 0, num_planes - 1), ii, jj]
+    ca = vol[np.clip(best_i + 1, 0, num_planes - 1), ii, jj]
+    denom = cb - 2 * best + ca
+    delta = np.where(interior & (np.abs(denom) > 1e-12),
+                     0.5 * (cb - ca) / np.where(np.abs(denom) > 1e-12,
+                                                denom, 1.0), 0.0)
+    frac = np.clip(best_i + np.clip(delta, -0.5, 0.5), 0, num_planes - 1)
+
+    np.testing.assert_allclose(np.asarray(res.disparity), frac,
+                               rtol=0, atol=2e-3)  # f32 vs f64 parabola

@@ -243,6 +243,91 @@ def plane_sweep_depth(ref: jnp.ndarray, other: jnp.ndarray,
                         valid=valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_planes", "slab",
+                                              "cost_window"))
+def plane_sweep_depth_blockwise(ref: jnp.ndarray, other: jnp.ndarray,
+                                K_ref: jnp.ndarray, K_other: jnp.ndarray,
+                                R: jnp.ndarray, t: jnp.ndarray,
+                                min_depth: float, max_depth: float,
+                                num_planes: int = 64,
+                                slab: int = 8,
+                                cost_window: int = 5) -> StereoResult:
+    """Blockwise plane sweep: the (D, H, W) cost volume NEVER materializes.
+
+    The SURVEY §5 long-context analogue (b): at production resolution x
+    disparity count the full volume exceeds HBM (e.g. 12 MP x 256 planes
+    = 12 GB f32), so the sweep runs as a lax.scan over disparity SLABS
+    with an O(H*W) carry — running best cost, its plane index, and the
+    costs of the two neighbouring planes (for parabolic subpixel), with
+    the previous plane's cost carried across slab boundaries so the
+    parabola is exact even when the winner sits on a slab edge. Matches
+    the full-volume WTA + parabola result exactly; SGM smoothing is the
+    explicit tradeoff (it needs the whole volume — use the non-blockwise
+    path when it fits).
+    """
+    h, w = ref.shape
+    assert num_planes % slab == 0, "num_planes must be a multiple of slab"
+    inv_min, inv_max = 1.0 / max_depth, 1.0 / min_depth
+    K_ref_inv = jnp.linalg.inv(K_ref)
+    n = jnp.array([0.0, 0.0, 1.0])
+    inv_depths = jnp.linspace(inv_max, inv_min, num_planes)
+
+    def cost_at_plane(inv_d):
+        Hm = K_other @ (R + jnp.outer(t, n) * inv_d) @ K_ref_inv
+        warped = warp_perspective(other, jnp.linalg.inv(Hm), (h, w))
+        return box_blur(jnp.abs(ref - warped), cost_window)
+
+    big = jnp.float32(1e30)
+    zero = jnp.zeros((h, w), jnp.float32)
+
+    def scan_slab(carry, slab_invd):
+        best, best_i, c_before, c_after, c_prev, i0 = carry
+        costs = jax.vmap(cost_at_plane)(slab_invd)     # (S, H, W)
+
+        def per_plane(inner, k):
+            best, best_i, c_before, c_after, c_prev = inner
+            c = costs[k]
+            i = i0 + k
+            take = c < best
+            # plane right after the current best fills its c_after slot
+            fill_after = jnp.logical_and(~take, i == best_i + 1)
+            c_after = jnp.where(fill_after, c, c_after)
+            c_before = jnp.where(take, c_prev, c_before)
+            c_after = jnp.where(take, big, c_after)
+            best_i = jnp.where(take, i, best_i)
+            best = jnp.where(take, c, best)
+            return (best, best_i, c_before, c_after, c), None
+
+        (best, best_i, c_before, c_after, c_prev), _ = lax.scan(
+            per_plane, (best, best_i, c_before, c_after, c_prev),
+            jnp.arange(slab))
+        return (best, best_i, c_before, c_after, c_prev, i0 + slab), None
+
+    init = (jnp.full((h, w), big), jnp.full((h, w), -1, jnp.int32),
+            jnp.full((h, w), big), jnp.full((h, w), big), zero + big,
+            jnp.int32(0))
+    (best, best_i, c_before, c_after, _, _), _ = lax.scan(
+        scan_slab, init, inv_depths.reshape(-1, slab))
+
+    # parabolic subpixel around the winning plane (exact vs full volume)
+    has_nb = (best_i > 0) & (best_i < num_planes - 1) \
+        & (c_before < big / 2) & (c_after < big / 2)
+    denom = c_before - 2.0 * best + c_after
+    delta = jnp.where(has_nb & (jnp.abs(denom) > 1e-12),
+                      0.5 * (c_before - c_after)
+                      / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+                      0.0)
+    frac = jnp.clip(best_i.astype(jnp.float32)
+                    + jnp.clip(delta, -0.5, 0.5), 0, num_planes - 1)
+    i0 = jnp.clip(jnp.floor(frac).astype(jnp.int32), 0, num_planes - 2)
+    f = frac - i0
+    inv_depth = inv_depths[i0] * (1 - f) + inv_depths[i0 + 1] * f
+    depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
+    valid = best < jnp.percentile(best, 90)
+    return StereoResult(disparity=frac,
+                        depth=jnp.where(valid, depth, 0.0), valid=valid)
+
+
 def box_blur(img: jnp.ndarray, size: int) -> jnp.ndarray:
     """Separable window sum via cumulative sums (cost aggregation)."""
     if size <= 1:

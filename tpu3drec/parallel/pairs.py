@@ -8,7 +8,13 @@ rank scores its slice of image-2 descriptors and the global 2-NN is reduced
 with an `all_gather` over tp, so large-N matching rides the ICI instead of
 duplicating the O(N^2 D) matmul.
 
-Collectives used: all_gather (tp top-2 merge), psum (dp global statistics).
+For the very-large-N regime where even one side's full descriptor set
+should not be replicated, `ring_knn2` rotates desc2 shards around the tp
+ring with `lax.ppermute` (the ring-attention analogue, SURVEY §5) while
+desc1 rows stay resident — peak memory one (N/tp, M/tp) block, exact.
+
+Collectives used: all_gather (tp top-2 merge), ppermute (ring rotation),
+psum (dp global statistics).
 """
 
 from __future__ import annotations
@@ -63,6 +69,71 @@ def tp_knn2(desc1: jnp.ndarray, desc2_shard: jnp.ndarray,
     g2 = jnp.take_along_axis(masked2, j2[:, None], axis=1)[:, 0]
     gi2 = jnp.take_along_axis(all_idx, j2[:, None], axis=1)[:, 0]
     return jnp.stack([gi1, gi2], axis=1), jnp.stack([g1, g2], axis=1)
+
+
+def ring_knn2(desc1_shard: jnp.ndarray, desc2_shard: jnp.ndarray,
+              mask1_shard: jnp.ndarray, mask2_shard: jnp.ndarray,
+              axis_name: str = MODEL_AXIS,
+              metric: str = "l2") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ring-partitioned exact 2-NN: BOTH descriptor sets sharded.
+
+    The SURVEY §5 "ring-attention analogue" for matching: desc1 rows stay
+    resident on their rank while desc2 shards rotate around the ring via
+    `lax.ppermute` (one hop per step, tp steps total). Each step scores
+    one (N/tp, M/tp) block and folds it into a running top-2, so peak
+    memory is one block instead of the (N, M) matrix and communication
+    is O(M * D) total per rank, all on ICI neighbour links. Exact —
+    bitwise the same winners as a single-device 2-NN.
+
+    Call inside shard_map with desc1/desc2 sharded along `axis_name`.
+    Returns (idx (N/tp, 2) GLOBAL desc2 ids, dist (N/tp, 2)).
+    """
+    tp = lax.axis_size(axis_name)
+    rank = lax.axis_index(axis_name)
+    m_local = desc2_shard.shape[0]
+    n_local = desc1_shard.shape[0]
+    perm = [(i, (i + 1) % tp) for i in range(tp)]
+
+    def fold(best_val, best_idx, dist, owner):
+        # merge one block's top-2 into the running top-2
+        i1 = jnp.argmin(dist, axis=1)
+        v1 = jnp.take_along_axis(dist, i1[:, None], axis=1)[:, 0]
+        masked = dist.at[jnp.arange(n_local), i1].set(_INF)
+        i2 = jnp.argmin(masked, axis=1)
+        v2 = jnp.take_along_axis(masked, i2[:, None], axis=1)[:, 0]
+        cand_val = jnp.concatenate(
+            [best_val, jnp.stack([v1, v2], axis=1)], axis=1)   # (N, 4)
+        cand_idx = jnp.concatenate(
+            [best_idx, jnp.stack([i1, i2], axis=1) + owner * m_local],
+            axis=1)
+        j1 = jnp.argmin(cand_val, axis=1)
+        g1 = jnp.take_along_axis(cand_val, j1[:, None], axis=1)[:, 0]
+        gi1 = jnp.take_along_axis(cand_idx, j1[:, None], axis=1)[:, 0]
+        masked2 = cand_val.at[jnp.arange(n_local), j1].set(_INF)
+        j2 = jnp.argmin(masked2, axis=1)
+        g2 = jnp.take_along_axis(masked2, j2[:, None], axis=1)[:, 0]
+        gi2 = jnp.take_along_axis(cand_idx, j2[:, None], axis=1)[:, 0]
+        return (jnp.stack([g1, g2], axis=1).astype(jnp.float32),
+                jnp.stack([gi1, gi2], axis=1))
+
+    def step(carry, _):
+        block, bmask, owner, best_val, best_idx = carry
+        dist = distance_matrix(desc1_shard, block, metric)
+        dist = jnp.where(bmask[None, :], dist, _INF)
+        best_val, best_idx = fold(best_val, best_idx, dist, owner)
+        # rotate: receive the next shard from the ring neighbour
+        block = lax.ppermute(block, axis_name, perm)
+        bmask = lax.ppermute(bmask, axis_name, perm)
+        owner = lax.ppermute(owner, axis_name, perm)
+        return (block, bmask, owner, best_val, best_idx), None
+
+    init = (desc2_shard, mask2_shard, rank,
+            jnp.full((n_local, 2), _INF, jnp.float32),
+            jnp.zeros((n_local, 2), jnp.int32))
+    (_, _, _, best_val, best_idx), _ = lax.scan(
+        step, init, None, length=tp)
+    best_val = jnp.where(mask1_shard[:, None], best_val, _INF)
+    return best_idx, best_val
 
 
 def make_batched_pair_step(mesh: Mesh, detect_fn: Callable,
