@@ -59,3 +59,40 @@ def test_detector_shim_and_filter_roundtrip(test_image):
     kps = C.keypoints_to_list(f1)
     back = C.list_to_keypoints(kps)
     assert back.capacity == len(kps)
+
+
+def test_cpe_dense_class_surface():
+    """CPE/DR class names a reference user reaches for exist and work."""
+    import numpy as np
+    import tpu3drec.compat as C
+
+    for n in ("MainPosePipeline", "StereoMatcher", "PointCloudProcessor",
+              "MeshGenerator", "Reconstruction", "Camera", "SfMConfig",
+              "reconstruct_scene", "assess_reconstruction_quality",
+              "DenseReconstructionPipeline", "run_dense_reconstruction",
+              "InitializationPairSelector"):
+        assert hasattr(C, n), n
+
+    mg = C.MeshGenerator()
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(500, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    mesh = mg.create_mesh_poisson(v.astype(np.float32),
+                                  v.astype(np.float32), resolution=36)
+    assert len(mesh[1]) > 100
+    q = mg.analyze_mesh_quality(mesh)
+    assert q["num_faces"] == len(mesh[1])
+    assert mg.compare_meshes(mesh, mesh)["surface_area"]["ratio"] == 1.0
+    sm = mg.smooth_mesh(mesh, iterations=1)
+    assert len(sm[0]) == len(mesh[0])
+
+    pcp = C.PointCloudProcessor()
+    depth = np.full((32, 32), 5.0, np.float32)
+    K = np.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]], np.float32)
+    pts, _ = pcp.depth_map_to_point_cloud(depth, K)
+    assert len(pts) > 500
+    nrm = pcp.estimate_normals(pts[:256], k=8)
+    assert nrm.shape == (256, 3)
+
+    pipe = C.MainPosePipeline(use_iterative_refinement=True)
+    assert pipe.config.use_iterative_refinement

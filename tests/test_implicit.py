@@ -113,3 +113,20 @@ def test_dense_pipeline_poisson_method():
         mesh_method="poisson", tsdf_resolution=48)
     assert res["mesh"]["method"] in ("poisson", "depth_grid")
     assert res["mesh"]["num_faces"] > 0
+
+
+def test_compare_meshes_and_visualize(tmp_path, sphere):
+    from tpu3drec.ops.mesh import compare_meshes, mesh_volume
+    from tpu3drec import viz
+
+    pts, nrm = sphere
+    m = poisson_mesh(pts, nrm, resolution=40)
+    cmp = compare_meshes(m["verts"], m["faces"], m["verts"], m["faces"])
+    assert cmp["vertex_count"]["ratio"] == 1.0
+    assert abs(cmp["surface_area"]["ratio"] - 1.0) < 1e-9
+    # a closed sphere mesh has volume ~ 4/3 pi
+    vol = mesh_volume(m["verts"], m["faces"])
+    assert abs(vol - 4.0 / 3.0 * np.pi) / (4.0 / 3.0 * np.pi) < 0.1
+    out = viz.visualize_mesh(m["verts"], m["faces"],
+                             save_to=tmp_path / "mesh_viz.png")
+    assert out is not None and (tmp_path / "mesh_viz.png").exists()

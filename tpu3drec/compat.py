@@ -189,3 +189,178 @@ ALIKEDDetector = _make_shim("ALIKED")
 def create_traditional_detector(method: str = "SIFT", **kw):
     """traditional_detectors.py:288 equivalent."""
     return _make_shim(method)(**kw)
+
+
+# -- CameraPoseEstimation surface (CPE/pipeline.py, pipeline2.py) --------
+from tpu3drec.sfm.reconstruction import (          # noqa: E402
+    Reconstruction, Camera,
+)
+from tpu3drec.sfm.pipeline import SfMConfig, SfMPipeline  # noqa: E402
+from tpu3drec.sfm import reconstruct_scene         # noqa: E402
+from tpu3drec.sfm.pair_selector import (           # noqa: E402
+    InitializationPairSelector, ScoringConfig,
+)
+from tpu3drec.sfm.quality import assess_reconstruction_quality  # noqa: E402
+
+
+class MainPosePipeline:
+    """Reference MainPosePipeline shim (CPE/pipeline.py:218 /
+    pipeline2.py:218): `process_monument_reconstruction(matches_pickle,
+    output_dir, chosen_images)` delegates to the TPU-native SfM pipeline.
+    Instantiating with `use_iterative_refinement=True` gives pipeline2
+    behaviour."""
+
+    def __init__(self, config: Optional[SfMConfig] = None,
+                 use_iterative_refinement: bool = False, **kw):
+        cfg = config or SfMConfig(**kw)
+        if use_iterative_refinement:
+            cfg.use_iterative_refinement = True
+        self.config = cfg
+        self.reconstruction: Optional[Reconstruction] = None
+
+    def process_monument_reconstruction(self, matches, output_dir=None,
+                                        chosen_images=None):
+        self.reconstruction = reconstruct_scene(
+            matches, output_dir=output_dir, config=self.config,
+            chosen_images=chosen_images)
+        return self.reconstruction
+
+
+# -- DenseReconstruction surface (DR/*.py) -------------------------------
+from tpu3drec.pipelines.dense import (             # noqa: E402
+    DenseReconstructionPipeline, run_dense_reconstruction,
+)
+
+
+class StereoMatcher:
+    """Reference StereoMatcher shim (stereo_matching.py:17): pairwise
+    depth + multi-view fusion on the TPU plane-sweep/SGM kernels."""
+
+    def __init__(self, num_disparities: int = 64, **kw):
+        self.num_disparities = num_disparities
+
+    def compute_stereo_depth(self, img1, img2, K1, K2, R, t):
+        import jax.numpy as jnp
+        from tpu3drec.ops.stereo import stereo_depth_pair
+        out = stereo_depth_pair(
+            jnp.asarray(np.asarray(img1, np.float32)),
+            jnp.asarray(np.asarray(img2, np.float32)),
+            jnp.asarray(np.asarray(K1, np.float32)),
+            jnp.asarray(np.asarray(K2, np.float32)),
+            jnp.asarray(np.asarray(R, np.float32)),
+            jnp.asarray(np.asarray(t, np.float32)),
+            num_disparities=self.num_disparities)
+        return {k: np.asarray(v) if hasattr(v, "shape") else v
+                for k, v in out.items()}
+
+    def fuse_depth_maps(self, depths, valids, baselines,
+                        method: str = "weighted"):
+        import jax.numpy as jnp
+        from tpu3drec.ops.stereo import fuse_depth_maps
+        fused, valid = fuse_depth_maps(
+            jnp.asarray(np.asarray(depths, np.float32)),
+            jnp.asarray(np.asarray(valids)),
+            jnp.asarray(np.asarray(baselines, np.float32)),
+            method=method)
+        return np.asarray(fused), np.asarray(valid)
+
+
+class PointCloudProcessor:
+    """Reference PointCloudProcessor shim
+    (point_cloud_processing.py:22)."""
+
+    def depth_map_to_point_cloud(self, depth, K, R=None, t=None,
+                                 image=None, stride: int = 1):
+        import jax.numpy as jnp
+        from tpu3drec.ops import pointcloud as pc
+        R = np.eye(3) if R is None else np.asarray(R)
+        t = np.zeros(3) if t is None else np.asarray(t)
+        pts, colors, mask = pc.depth_map_to_point_cloud(
+            jnp.asarray(np.asarray(depth, np.float32)),
+            jnp.asarray(np.asarray(K, np.float32)),
+            jnp.asarray(R.astype(np.float32)),
+            jnp.asarray(t.astype(np.float32)),
+            image=(jnp.asarray(np.asarray(image, np.float32))
+                   if image is not None else None),
+            stride=stride)
+        m = np.asarray(mask)
+        return (np.asarray(pts)[m],
+                np.asarray(colors)[m] if colors is not None else None)
+
+    def filter_point_cloud(self, points, k: int = 16,
+                           std_ratio: float = 2.0):
+        import jax.numpy as jnp
+        from tpu3drec.ops import pointcloud as pc
+        pts = jnp.asarray(np.asarray(points, np.float32))
+        mask = pc.statistical_outlier_mask(
+            pts, jnp.ones(len(points), bool), k=k, std_ratio=std_ratio)
+        return np.asarray(points)[np.asarray(mask)]
+
+    def estimate_normals(self, points, k: int = 16, viewpoint=None):
+        import jax.numpy as jnp
+        from tpu3drec.ops import pointcloud as pc
+        return np.asarray(pc.estimate_normals(
+            jnp.asarray(np.asarray(points, np.float32)),
+            jnp.ones(len(points), bool), k=k,
+            viewpoint=(jnp.asarray(np.asarray(viewpoint, np.float32))
+                       if viewpoint is not None else None)))
+
+
+class MeshGenerator:
+    """Reference MeshGenerator shim (mesh_generation.py:22). Meshes are
+    (vertices, faces) ndarray tuples instead of trimesh objects."""
+
+    def create_mesh_poisson(self, points, normals=None, **kw):
+        from tpu3drec.ops.mesh import create_mesh_poisson
+        return create_mesh_poisson(points, normals, **kw)
+
+    def create_mesh_ball_pivoting(self, points, normals=None, **kw):
+        from tpu3drec.ops.mesh import create_mesh_ball_pivoting
+        return create_mesh_ball_pivoting(points, normals, **kw)
+
+    def create_mesh_alpha_shape(self, points, alpha: float = 0.03, **kw):
+        from tpu3drec.ops.mesh import create_mesh_alpha_shape
+        return create_mesh_alpha_shape(points, alpha, **kw)
+
+    def create_mesh_delaunay(self, points, **kw):
+        from tpu3drec.ops.mesh import delaunay_mesh
+        return delaunay_mesh(points, **kw)
+
+    def create_mesh_from_depth_map(self, depth_map, K, **kw):
+        from tpu3drec.ops.mesh import depth_map_to_mesh
+        return depth_map_to_mesh(np.asarray(depth_map), np.asarray(K),
+                                 **kw)
+
+    def simplify_mesh(self, mesh, target_faces: int = 1000):
+        from tpu3drec.ops.mesh import simplify_mesh
+        return simplify_mesh(*mesh, target_faces)
+
+    def smooth_mesh(self, mesh, iterations: int = 5):
+        from tpu3drec.ops.mesh import smooth_mesh
+        return smooth_mesh(*mesh, iterations=iterations)
+
+    def repair_mesh(self, mesh):
+        from tpu3drec.ops.mesh import repair_mesh
+        return repair_mesh(*mesh)
+
+    def texture_mesh(self, mesh, cameras, images):
+        from tpu3drec.ops.mesh import project_texture
+        return mesh[0], mesh[1], project_texture(mesh[0], cameras, images)
+
+    def analyze_mesh_quality(self, mesh):
+        from tpu3drec.ops.mesh import mesh_quality
+        return mesh_quality(*mesh)
+
+    def compare_meshes(self, mesh1, mesh2):
+        from tpu3drec.ops.mesh import compare_meshes
+        return compare_meshes(mesh1[0], mesh1[1], mesh2[0], mesh2[1])
+
+    def visualize_mesh(self, mesh, title: str = "Mesh Visualization",
+                       **kw):
+        from tpu3drec.viz import visualize_mesh
+        return visualize_mesh(mesh[0], mesh[1], title=title, **kw)
+
+    def export_mesh(self, mesh, filename: str = "mesh.obj") -> bool:
+        from tpu3drec.ops.mesh import save_obj
+        save_obj(filename, *mesh)
+        return True

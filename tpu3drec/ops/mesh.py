@@ -254,6 +254,49 @@ def create_mesh_alpha_shape(points: np.ndarray, alpha: float = 0.03,
     return m["verts"], m["faces"]
 
 
+def mesh_volume(verts: np.ndarray, faces: np.ndarray) -> float:
+    """Signed volume via the divergence theorem (sum of signed
+    tetrahedra to the origin); meaningful for closed oriented meshes."""
+    v = np.asarray(verts, np.float64)
+    f = np.asarray(faces)
+    if len(f) == 0:
+        return 0.0
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    return float(abs(np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0))
+
+
+def compare_meshes(verts1: np.ndarray, faces1: np.ndarray,
+                   verts2: np.ndarray, faces2: np.ndarray) -> Dict:
+    """Pairwise mesh comparison (mesh_generation.py:721-772): vertex /
+    face counts, volume, surface area, extents — each with mesh2/mesh1
+    ratios, same keys as the reference."""
+    if verts1 is None or verts2 is None:
+        return {"error": "One or both meshes are None"}
+    q1 = mesh_quality(verts1, faces1)
+    q2 = mesh_quality(verts2, faces2)
+    vol1 = mesh_volume(verts1, faces1) if q1.get("is_watertight") else 0.0
+    vol2 = mesh_volume(verts2, faces2) if q2.get("is_watertight") else 0.0
+    e1 = (np.asarray(verts1).max(0) - np.asarray(verts1).min(0)
+          if len(verts1) else np.zeros(3))
+    e2 = (np.asarray(verts2).max(0) - np.asarray(verts2).min(0)
+          if len(verts2) else np.zeros(3))
+    return {
+        "vertex_count": {"mesh1": len(verts1), "mesh2": len(verts2),
+                         "ratio": len(verts2) / max(1, len(verts1))},
+        "face_count": {"mesh1": len(faces1), "mesh2": len(faces2),
+                       "ratio": len(faces2) / max(1, len(faces1))},
+        "volume": {"mesh1": vol1, "mesh2": vol2,
+                   "ratio": vol2 / max(1e-10, vol1)},
+        "surface_area": {"mesh1": q1["surface_area"],
+                         "mesh2": q2["surface_area"],
+                         "ratio": q2["surface_area"]
+                         / max(1e-10, q1["surface_area"])},
+        "bounds": {"mesh1_extents": e1.tolist(),
+                   "mesh2_extents": e2.tolist(),
+                   "extents_ratio": (e2 / np.maximum(e1, 1e-10)).tolist()},
+    }
+
+
 def save_obj(path, verts: np.ndarray, faces: np.ndarray,
              colors: Optional[np.ndarray] = None) -> None:
     """OBJ export (mesh_generation.py:598-621)."""

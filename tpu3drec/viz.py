@@ -146,6 +146,49 @@ def plot_visualization_data(image1, image2, matching_result, **kw):
     return plot_method_comparison(image1, image2, matching_result, **kw)
 
 
+def visualize_mesh(verts, faces, title: str = "Mesh Visualization",
+                   max_faces: int = 1000, save_to=None):
+    """Mesh wireframe + face-area / edge-length / quality panels
+    (mesh_generation.py:504-597)."""
+    from tpu3drec.ops.mesh import mesh_quality
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    if len(verts) == 0 or len(faces) == 0:
+        print("No mesh to visualize")
+        return None
+    fig = plt.figure(figsize=(15, 10))
+    ax1 = fig.add_subplot(221, projection="3d")
+    step = max(1, len(faces) // max_faces)
+    sub = faces[::step]
+    tri = verts[sub]                                   # (F, 3, 3)
+    closed = np.concatenate([tri, tri[:, :1]], axis=1)  # (F, 4, 3)
+    for t in closed:
+        ax1.plot3D(*t.T, "b-", alpha=0.3, linewidth=0.5)
+    ax1.set_title("Mesh Wireframe")
+
+    a, b, c = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    ax2 = fig.add_subplot(222)
+    ax2.hist(areas, bins=40, color="steelblue")
+    ax2.set_title("Face area distribution")
+
+    edges = np.concatenate([b - a, c - b, a - c])
+    ax3 = fig.add_subplot(223)
+    ax3.hist(np.linalg.norm(edges, axis=1), bins=40, color="darkorange")
+    ax3.set_title("Edge length distribution")
+
+    ax4 = fig.add_subplot(224)
+    ax4.axis("off")
+    q = mesh_quality(verts, faces)
+    ax4.text(0.02, 0.95, "\n".join(f"{k}: {v}" for k, v in q.items()),
+             va="top", family="monospace", fontsize=10)
+    ax4.set_title("Quality")
+    fig.suptitle(title)
+    if save_to:
+        return save_visualization(fig, save_to)
+    return fig
+
+
 def plot_reconstruction_3d(recon, max_points: int = 5000, save_to=None):
     """3-D scatter of the sparse cloud + camera frusta (the SfM-stage
     analogue of the reference's matplotlib cloud views,
