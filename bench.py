@@ -153,11 +153,17 @@ def bench_sfm():
     info = {n: {"name": n, "width": W, "height": H} for n in names}
     t0 = time.perf_counter()
     recon = SfMPipeline(SfMConfig()).reconstruct(dict(matches_data), info)
+    dt_cold = time.perf_counter() - t0
+    # steady state: same-process second run hits every traced executable
+    t0 = time.perf_counter()
+    recon = SfMPipeline(SfMConfig()).reconstruct(dict(matches_data), info)
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "incremental SfM views/s (12 views, 600 pts, synthetic)",
+        "metric": "incremental SfM views/s (12 views, 600 pts, synthetic,"
+                  " steady-state)",
         "value": round(recon.num_cameras / dt, 3),
         "unit": "views/s",
+        "cold_start_views_per_s": round(recon.num_cameras / dt_cold, 3),
         "cameras": recon.num_cameras, "points": recon.num_points,
     }))
 

@@ -56,3 +56,40 @@ def test_pipeline2_refinement_flag(tmp_path):
     assert recon.num_cameras == 3
     q = assess_reconstruction_quality(recon)
     assert q["mean_reprojection_error"] < 2.0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Array-native orbax checkpoint preserves the full reconstruction
+    (SURVEY §5: orbax-style checkpoint of the reconstruction pytree)."""
+    import numpy as np
+    from tpu3drec.io.checkpoint import (load_reconstruction_orbax,
+                                        save_reconstruction_orbax)
+    from tpu3drec.sfm.reconstruction import Camera, Reconstruction
+
+    rng = np.random.default_rng(0)
+    recon = Reconstruction()
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    for i in range(3):
+        R = np.eye(3)
+        t = np.array([0.1 * i, 0.0, 0.0])
+        recon.add_camera(Camera(f"im{i}.png", R, t, K, (640, 480)))
+    ids = recon.add_points_batch(rng.uniform(-1, 1, (50, 3)))
+    for i in range(3):
+        recon.add_observations_batch(f"im{i}.png", ids[:30],
+                                     rng.uniform(0, 640, (30, 2)))
+
+    save_reconstruction_orbax(recon, tmp_path / "ckpt")
+    back = load_reconstruction_orbax(tmp_path / "ckpt")
+
+    assert sorted(back.cameras) == sorted(recon.cameras)
+    np.testing.assert_allclose(back.cameras["im1.png"].t,
+                               recon.cameras["im1.png"].t)
+    np.testing.assert_allclose(back.points_array(), recon.points_array())
+    assert len(back.observations) == len(recon.observations)
+    got = sorted((c, p, tuple(np.round(uv, 6)))
+                 for c, p, uv in back.observations)
+    want = sorted((c, p, tuple(np.round(uv, 6)))
+                  for c, p, uv in recon.observations)
+    assert got == want
+    # overwrite-safe: a second save to the same dir succeeds
+    save_reconstruction_orbax(back, tmp_path / "ckpt")

@@ -109,3 +109,92 @@ def get_remaining_pairs(output_dir, pairs: Sequence[PairKey]) -> List[PairKey]:
         return list(pairs)
     done = set(data.get("completed_pairs", []))
     return [p for p in pairs if _key_str(p) not in done]
+
+
+# ---------------------------------------------------------------------
+# orbax array-native SfM checkpoint (SURVEY §5 "checkpoint/resume":
+# "orbax-style checkpoint of reconstruction pytree + pair-completion
+# bitmask"). The pickle path (Reconstruction.save_state, the reference's
+# saved_variable.pkl parity format) remains the interchange format;
+# this is the TPU-native alternative: numeric state as an orbax
+# checkpoint (async-safe, partial-restore capable), strings in a JSON
+# manifest beside it.
+# ---------------------------------------------------------------------
+
+def save_reconstruction_orbax(recon, directory) -> None:
+    """Checkpoint a Reconstruction as an orbax pytree + JSON manifest."""
+    import shutil
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    names = sorted(recon.cameras)
+    name_id = {n: i for i, n in enumerate(names)}
+    n_pts = len(recon.points)
+    tree = {
+        "R": (np.stack([recon.cameras[n].R for n in names])
+              if names else np.zeros((0, 3, 3))),
+        "t": (np.stack([recon.cameras[n].t for n in names])
+              if names else np.zeros((0, 3))),
+        "K": (np.stack([recon.cameras[n].K for n in names])
+              if names else np.zeros((0, 3, 3))),
+        "points": (np.stack(recon.points)
+                   if n_pts else np.zeros((0, 3))),
+        "colors": (np.stack(recon.point_colors)
+                   if n_pts else np.zeros((0, 3), np.uint8)),
+        "obs_cam": np.asarray([name_id[c] for c, _, _
+                               in recon.observations], np.int32),
+        "obs_pt": np.asarray([p for _, p, _ in recon.observations],
+                             np.int32),
+        "obs_uv": (np.stack([uv for _, _, uv in recon.observations])
+                   if recon.observations else np.zeros((0, 2))),
+    }
+    state_dir = directory / "state"
+    if state_dir.exists():
+        shutil.rmtree(state_dir)
+    directory.mkdir(parents=True, exist_ok=True)
+    # sync PyTree handler: StandardCheckpointer's async executor clashes
+    # with this image's atexit-managed event loop
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ck:
+        ck.save(state_dir, tree)
+    manifest = {
+        "format": "tpu3drec-orbax-v1",
+        "camera_names": names,
+        "image_sizes": {n: list(recon.cameras[n].image_size)
+                        for n in names},
+    }
+    tmp = directory / "manifest.json.tmp"
+    tmp.write_text(json.dumps(manifest))
+    os.replace(tmp, directory / "manifest.json")
+
+
+def load_reconstruction_orbax(directory):
+    """Restore a Reconstruction saved by save_reconstruction_orbax."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from tpu3drec.sfm.reconstruction import Camera, Reconstruction
+
+    directory = Path(directory).absolute()
+    manifest = json.loads((directory / "manifest.json").read_text())
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ck:
+        tree = ck.restore(directory / "state")
+    names = manifest["camera_names"]
+    recon = Reconstruction()
+    for i, n in enumerate(names):
+        recon.add_camera(Camera(
+            n, np.asarray(tree["R"][i]), np.asarray(tree["t"][i]),
+            np.asarray(tree["K"][i]),
+            tuple(manifest["image_sizes"][n])))
+    pts = np.asarray(tree["points"])
+    if len(pts):
+        ids = recon.add_points_batch(pts)
+        recon.point_colors = list(np.asarray(tree["colors"], np.uint8))
+        del ids
+    obs_cam = np.asarray(tree["obs_cam"])
+    obs_pt = np.asarray(tree["obs_pt"])
+    obs_uv = np.asarray(tree["obs_uv"])
+    for ci in np.unique(obs_cam):
+        sel = obs_cam == ci
+        recon.add_observations_batch(names[int(ci)], obs_pt[sel],
+                                     obs_uv[sel])
+    return recon
