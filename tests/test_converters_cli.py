@@ -137,3 +137,36 @@ def test_cli_match_folder_and_reconstruct(tmp_path, capsys):
     assert (out / "progress.json").exists()
     summary = json.loads(capsys.readouterr().out)
     assert summary["stats"]["completed"] == 3
+
+
+def test_visualization_data_and_result_converter(tmp_path):
+    """ResultConverter facade (result_converters.py:605-783) +
+    VisualizationData (:27-189)."""
+    import cv2
+    import numpy as np
+    from tpu3drec.bench.synthetic import SyntheticImageGenerator
+    from tpu3drec.io.converters import ResultConverter, VisualizationData
+    from tpu3drec.pipelines.matching import create_pipeline
+
+    img = SyntheticImageGenerator(seed=3).generate(320, 240)
+    M = cv2.getRotationMatrix2D((160, 120), 5.0, 1.0)
+    warped = cv2.warpAffine(img, M, (320, 240))
+    res = create_pipeline("fast").match(img, warped)
+
+    vd = ResultConverter.to_visualization(res, img, warped)
+    assert isinstance(vd, VisualizationData)
+    assert vd.num_methods >= 1
+    for m in vd.methods:
+        assert vd.keypoints1[m].shape[1] == 2
+        assert vd.matches[m].shape[1] == 2
+    fig = vd.plot()
+    assert fig is not None
+
+    # no images -> ValueError (reference's :127 precedence bug, fixed)
+    vd2 = ResultConverter.to_visualization(res)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vd2.plot()
+
+    rec = ResultConverter.to_reconstruction(res)
+    assert rec.get_best_method() in vd.methods

@@ -59,6 +59,7 @@ from tpu3drec.core.registry import (
 # -- result converters (result_converters.py) ---------------------------
 from tpu3drec.io.converters import (
     MethodReconstructionData, MultiMethodReconstruction,
+    VisualizationData, ResultConverter,
     save_for_reconstruction, load_for_reconstruction, export_results_csv,
 )
 

@@ -171,3 +171,60 @@ def export_results_csv(results: List, path) -> Path:
                             f"{r.detection_time:.4f}",
                             f"{r.matching_time:.4f}"])
     return path
+
+
+class VisualizationData:
+    """Unified visualization payload (result_converters.py:27-189):
+    keypoint arrays per image + per-method match index pairs, with a
+    `.plot()` that delegates to viz.plot_method_comparison. Built from a
+    MatchingResult via ResultConverter.to_visualization."""
+
+    def __init__(self, matching_result, image1=None, image2=None):
+        self.result = matching_result
+        self.image1 = image1
+        self.image2 = image2
+        self.methods = list(matching_result.keys())
+        self.keypoints1 = {}
+        self.keypoints2 = {}
+        self.matches = {}
+        for m in self.methods:
+            r = matching_result[m]
+            f1, f2 = r.features1, r.features2
+            if f1 is not None:
+                k = np.asarray(f1.xy)[np.asarray(f1.mask)]
+                self.keypoints1[m] = k
+            if f2 is not None:
+                self.keypoints2[m] = np.asarray(f2.xy)[np.asarray(f2.mask)]
+            mt = r.best_matches
+            if mt is not None:
+                m_mask = np.asarray(mt.mask)
+                self.matches[m] = np.stack(
+                    [np.asarray(mt.idx1)[m_mask],
+                     np.asarray(mt.idx2)[m_mask]], axis=1)
+
+    @property
+    def num_methods(self) -> int:
+        return len(self.methods)
+
+    def plot(self, **kw):
+        if self.image1 is None or self.image2 is None:
+            raise ValueError("images required for plotting "
+                             "(fixes result_converters.py:127 precedence "
+                             "bug rather than replicating it)")
+        from tpu3drec.viz import plot_method_comparison
+        return plot_method_comparison(self.image1, self.image2,
+                                      self.result, **kw)
+
+
+class ResultConverter:
+    """Conversion facade (result_converters.py:605-783)."""
+
+    @staticmethod
+    def to_visualization(matching_result, image1=None,
+                         image2=None) -> VisualizationData:
+        return VisualizationData(matching_result, image1, image2)
+
+    @staticmethod
+    def to_reconstruction(matching_result) -> MultiMethodReconstruction:
+        return MultiMethodReconstruction.from_matching_result(
+            matching_result)
