@@ -96,3 +96,54 @@ def test_cpe_dense_class_surface():
 
     pipe = C.MainPosePipeline(use_iterative_refinement=True)
     assert pipe.config.use_iterative_refinement
+
+
+def test_reference_all_exports_covered():
+    """Every name in the reference package's __all__
+    (FME/__init__.py:207-302, incl. the deep-learning extension) exists
+    in tpu3drec.compat."""
+    import tpu3drec.compat as C
+
+    names = [
+        'FeatureProcessingPipeline', 'create_pipeline',
+        'MatchingResult', 'MethodResult', 'ImagePairInfo',
+        'ProcessingMetadata', 'save_for_reconstruction',
+        'load_for_reconstruction', 'save_results_batch',
+        'load_results_batch', 'export_summary_csv',
+        'VisualizationData', 'ReconstructionData',
+        'MethodReconstructionData', 'ResultConverter', 'VisualMatch',
+        'FeatureData', 'MatchData', 'EnhancedDMatch', 'ScoreType',
+        'MultiMethodFeatureData', 'MultiMethodMatchData',
+        'ImageMetadata', 'ImageInfo', 'ImageSourceType', 'ImageCache',
+        'BatchImageLoader', 'FolderImageSource',
+        'create_pairs_from_metadata', 'analyze_batch_reuse',
+        'estimate_batch_memory', 'scan_folder_quick', 'BatchProcessor',
+        'load_progress', 'delete_progress', 'get_remaining_pairs',
+        'SIFTDetector', 'ORBDetector', 'AKAZEDetector', 'BRISKDetector',
+        'MultiMethodFeatureDetector', 'EnhancedBFMatcher',
+        'EnhancedFLANNMatcher', 'auto_select_matcher', 'MatcherFactory',
+        'plot_visualization_data', 'plot_method_comparison',
+        'visualize_matches_quick', 'show_matches',
+        'visualize_matches_with_scores', 'save_visualization',
+        'visualize_keypoints_only', 'get_default_config',
+        'create_config_from_preset', 'validate_size',
+        'image_size_from_shape', 'resize_image', 'print_size_info',
+        'enhanced_filter_matches_with_homography',
+        'adaptive_match_filtering', 'calculate_reprojection_error',
+        'keypoint_to_dict', 'dict_to_keypoint', 'keypoints_to_list',
+        'list_to_keypoints', 'SuperPointDetector', 'ALIKEDDetector',
+        'DISKDetector', 'get_version', 'get_available_methods',
+        'check_dependencies',
+    ]
+    missing = [n for n in names if not hasattr(C, n)]
+    assert not missing, missing
+
+    assert C.get_available_methods()["traditional"]["GFTT"]
+    assert C.check_dependencies()["jax"]
+    assert C.validate_size(np.zeros((100, 100)))
+    assert not C.validate_size(np.zeros((4, 4)))
+    assert C.image_size_from_shape((480, 640)) == (640, 480)
+    small = C.resize_image(np.zeros((2048, 1024), np.float32), 512)
+    assert max(small.shape) == 512
+    d = C.EnhancedDMatch(0, 1, 100.0, "distance")
+    assert 0 < d.as_confidence() < 1

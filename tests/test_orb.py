@@ -71,3 +71,24 @@ def test_orb_api_entry(photo):
     r = match_images(photo, warped, method="ORB", max_features=512)
     assert r.num_matches > 20
     assert r.inlier_ratio is None or r.inlier_ratio > 0.3
+
+
+def test_orb_max_features_exceeds_pyramid_budget():
+    """max_features above the summed per-level budgets must not fail at
+    trace time; arrays stay at static capacity with padded mask=False
+    rows (same contract as the SIFT fix, ADVICE r1)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu3drec.ops.orb import detect_orb_features
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (240, 320)).astype(np.float32)
+    feats = detect_orb_features(jnp.asarray(img), max_features=2000)
+    assert feats.xy.shape[0] == 2000 and feats.mask.shape[0] == 2000
+    assert int(feats.mask.sum()) > 0
+
+
+def test_gftt_alias_registered():
+    from tpu3drec.api import _get_detector_registry
+    reg = _get_detector_registry()
+    assert "GFTT" in reg and "GoodFeatures" in reg

@@ -43,6 +43,7 @@ def _get_detector_registry():
         "SIFT": detect_sift_features,
         "Harris": harris,
         "GoodFeatures": gftt,
+        "GFTT": gftt,          # reference alias (traditional_detectors.py:228)
     }
     from tpu3drec.ops.orb import detect_orb_features
     from tpu3drec.ops.akaze import detect_akaze_features

@@ -365,3 +365,214 @@ class MeshGenerator:
         from tpu3drec.ops.mesh import save_obj
         save_obj(filename, *mesh)
         return True
+
+
+# -- remaining reference __all__ names (FME/__init__.py:207-302) ---------
+import dataclasses as _dc
+import enum as _enum
+import pickle as _pickle
+
+from tpu3drec import __version__
+from tpu3drec.io.converters import export_results_csv as export_summary_csv
+from tpu3drec.ops.image import resize as _resize_op
+
+ReconstructionData = MethodReconstructionData   # result_converters alias
+
+
+@_dc.dataclass
+class ImagePairInfo:
+    """result_types.py pair-metadata record."""
+    image1_name: str = ""
+    image2_name: str = ""
+    image1_shape: tuple = ()
+    image2_shape: tuple = ()
+
+    @property
+    def image1(self):
+        return self.image1_name
+
+    @property
+    def image2(self):
+        return self.image2_name
+
+
+@_dc.dataclass
+class ProcessingMetadata:
+    """result_types.py:44-51: per-pair timing metadata."""
+    total_processing_time: float = 0.0
+    method_timings: Dict[str, float] = _dc.field(default_factory=dict)
+    timestamp: float = 0.0
+    config: Dict[str, Any] = _dc.field(default_factory=dict)
+
+
+@_dc.dataclass
+class VisualMatch:
+    """result_converters.py per-match visualization record."""
+    pt1: tuple = (0.0, 0.0)
+    pt2: tuple = (0.0, 0.0)
+    score: float = 0.0
+    method: str = ""
+    color: tuple = (0, 255, 0)
+
+
+@_dc.dataclass
+class EnhancedDMatch:
+    """core_data_structures.py:64-101: match record with the distance <->
+    confidence score algebra."""
+    queryIdx: int = 0
+    trainIdx: int = 0
+    distance: float = 0.0
+    score_type: str = "distance"
+
+    def as_distance(self) -> float:
+        if self.score_type == "distance":
+            return self.distance
+        return 1.0 - self.distance        # confidence -> pseudo-distance
+
+    def as_confidence(self) -> float:
+        if self.score_type == "confidence":
+            return self.distance
+        return 1.0 / (1.0 + max(self.distance, 0.0))
+
+
+class MultiMethodFeatureData(dict):
+    """{method: Features} container (core_data_structures.py:209+)."""
+
+    @property
+    def methods(self):
+        return list(self.keys())
+
+
+class MultiMethodMatchData(dict):
+    """{method: Matches} container with offset merging delegated to
+    core/multi_match.merge_method_matches."""
+
+    @property
+    def methods(self):
+        return list(self.keys())
+
+
+ImageInfo = ImageMetadata                  # image_manager.py alias
+
+
+class ImageSourceType(_enum.Enum):
+    FOLDER = "folder"
+    SINGLE = "single"
+    SYNTHETIC = "synthetic"
+
+
+def analyze_batch_reuse(prev, nxt) -> Dict[str, Any]:
+    """Module-level alias of BatchImageLoader.analyze_batch_reuse
+    (image_manager.py:502-564)."""
+    return BatchImageLoader().analyze_batch_reuse(prev, nxt)
+
+
+def estimate_batch_memory(metas, bytes_per_pixel: int = 4) -> int:
+    """Pixel-memory estimate for a batch of ImageMetadata
+    (image_manager.py:502-564 analytics)."""
+    total = 0
+    for m in metas:
+        w = getattr(m, "width", 0) or 640
+        h = getattr(m, "height", 0) or 480
+        total += int(w) * int(h) * bytes_per_pixel
+    return total
+
+
+def save_results_batch(results, path) -> None:
+    """Batch pickle of MatchingResults (result_types.py:497-527)."""
+    with open(path, "wb") as f:
+        _pickle.dump([r.to_dict() if hasattr(r, "to_dict") else r
+                      for r in results], f)
+
+
+def load_results_batch(path):
+    """Inverse of save_results_batch."""
+    with open(path, "rb") as f:
+        return _pickle.load(f)
+
+
+class _MatcherShim:
+    """Thin matcher class (feature_matchers.py:25-252): holds params,
+    delegates to the functional MXU kNN. 'FLANN' is exact by design
+    (PARITY.md formal descopes)."""
+
+    def __init__(self, ratio_threshold: float = 0.75, **kw):
+        self.ratio_threshold = ratio_threshold
+        self.params = kw
+
+    def match(self, features1, features2):
+        from tpu3drec.ops.match import match_features
+        return match_features(features1, features2,
+                              ratio=self.ratio_threshold)
+
+
+class EnhancedBFMatcher(_MatcherShim):
+    pass
+
+
+class EnhancedFLANNMatcher(_MatcherShim):
+    pass
+
+
+def validate_size(image, min_size: int = 32,
+                  max_size: int = 8192) -> bool:
+    """utils.py:28-75: dimension sanity check."""
+    a = np.asarray(image)
+    if a.ndim < 2:
+        return False
+    h, w = a.shape[:2]
+    return min_size <= h <= max_size and min_size <= w <= max_size
+
+
+def image_size_from_shape(shape) -> tuple:
+    """(H, W[, C]) -> (width, height)."""
+    return (int(shape[1]), int(shape[0]))
+
+
+def resize_image(image, max_dimension: int = 1024):
+    """utils.py:76-116: aspect-preserving cap on the longest side."""
+    a = np.asarray(image, np.float32)
+    h, w = a.shape[:2]
+    m = max(h, w)
+    if m <= max_dimension:
+        return a
+    scale = max_dimension / m
+    import jax.numpy as jnp
+    return np.asarray(_resize_op(jnp.asarray(a),
+                                 (int(round(h * scale)),
+                                  int(round(w * scale)))))
+
+
+def print_size_info(image, name: str = "image") -> None:
+    a = np.asarray(image)
+    print(f"{name}: {a.shape[1]}x{a.shape[0]} "
+          f"({a.nbytes / 1e6:.1f} MB, dtype {a.dtype})")
+
+
+def get_version() -> str:
+    return __version__
+
+
+def get_available_methods() -> Dict[str, Dict[str, bool]]:
+    """FME/__init__.py:313-333 equivalent, from the live registry."""
+    from tpu3drec.api import _get_detector_registry
+    reg = _get_detector_registry()
+    return {
+        "traditional": {m: m in reg
+                        for m in ("SIFT", "ORB", "AKAZE", "BRISK",
+                                  "Harris", "GFTT")},
+        "deep_learning": {m: m in reg
+                          for m in ("SuperPoint", "DISK", "ALIKED")},
+    }
+
+
+def check_dependencies() -> Dict[str, bool]:
+    """FME/__init__.py:336+ equivalent."""
+    out = {}
+    for mod in ("jax", "flax", "optax", "numpy"):
+        try:
+            __import__(mod)
+            out[mod] = True
+        except ImportError:
+            out[mod] = False
+    return out

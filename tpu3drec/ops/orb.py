@@ -127,9 +127,17 @@ def _orb_impl(img: jnp.ndarray, max_features: int, n_levels: int,
         ))
     merged = {k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]}
     score_all = jnp.where(merged["mask"], merged["response"], -jnp.inf)
-    _, order = lax.top_k(score_all, max_features)
+    # per-level budgets can sum below max_features (int truncation, tiny
+    # images) — clamp the top_k and pad back to the static capacity
+    k_top = min(max_features, score_all.shape[0])
+    _, order = lax.top_k(score_all, k_top)
     out = {k: v[order] for k, v in merged.items()}
     out["mask"] = out["mask"] & (score_all[order] > -jnp.inf)
+    if k_top < max_features:
+        pad = max_features - k_top
+        out = {k: jnp.concatenate(
+            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+            for k, v in out.items()}
     out["response"] = jnp.where(out["mask"], out["response"], 0.0)
     return (out["xy"], out["response"], out["scale"], out["angle"],
             out["desc"], out["mask"])
