@@ -152,3 +152,35 @@ def test_match_folder_resume(folder_run):
     s2 = pipe.match_folder(folder, out, batch_size=2)
     assert s2["stats"]["skipped"] == 4
     assert s2["stats"]["completed"] == 0
+
+
+def test_stage_glue_load_images_and_keypoint_roundtrip(tmp_path):
+    """others/utils.py:515-563 glue: load_images skips undecodable paths;
+    keypoints round-trip through the serializable dict format."""
+    from PIL import Image
+    import numpy as np
+    from tpu3drec.io.batch_pickle import (
+        load_images, keypoints_to_serializable, serializable_to_keypoints)
+
+    good = tmp_path / "a.png"
+    Image.fromarray((np.random.default_rng(0).uniform(
+        0, 255, (40, 60)).astype(np.uint8))).save(good)
+    bad = tmp_path / "broken.png"
+    bad.write_bytes(b"not a png")
+
+    loaded = load_images([str(good), str(bad), str(tmp_path / "missing.png")])
+    assert len(loaded) == 1
+    img, name = loaded[0]
+    assert name == "a.png" and img.shape == (40, 60)
+    assert img.dtype == np.float32 and 0.0 <= img.min() <= img.max() <= 1.0
+
+    from tpu3drec.core.types import Features
+    xy = np.array([[3.0, 4.0], [10.0, 20.0]], np.float32)
+    f = Features.from_numpy(xy, np.zeros((2, 8), np.float32),
+                            response=[0.5, 0.25], scale=[1.5, 2.0],
+                            angle=[30.0, 60.0], image_shape=(40, 60))
+    dicts = keypoints_to_serializable(f)
+    assert dicts[0]["pt"] == (3.0, 4.0) and dicts[1]["size"] == 2.0
+    back = serializable_to_keypoints(dicts, image_shape=(40, 60))
+    np.testing.assert_allclose(np.asarray(back.xy)[:2], xy)
+    assert serializable_to_keypoints([]).xy.shape[1] == 2

@@ -566,6 +566,24 @@ def get_available_methods() -> Dict[str, Dict[str, bool]]:
     }
 
 
+def _stage_glue():
+    """others/utils.py stage-glue names re-exported lazily (the io module
+    imports compat for the keypoint converters)."""
+    from tpu3drec.io import batch_pickle as bp
+    return bp
+
+
+def load_images(image_paths):
+    """others/utils.py:515-533 equivalent."""
+    return _stage_glue().load_images(image_paths)
+
+
+def serializable_to_keypoints(serializable_kps, desc=None, image_shape=()):
+    """others/utils.py:540-563 equivalent."""
+    return _stage_glue().serializable_to_keypoints(
+        serializable_kps, desc=desc, image_shape=image_shape)
+
+
 def check_dependencies() -> Dict[str, bool]:
     """FME/__init__.py:336+ equivalent."""
     out = {}

@@ -139,8 +139,14 @@ class Features:
         """Build a padded Features from dense host arrays."""
         xy = np.asarray(xy, np.float32).reshape(-1, 2)
         n = xy.shape[0]
-        desc = np.asarray(desc, np.float32).reshape(n, -1) if desc is not None \
-            else np.zeros((n, 0), np.float32)
+        if desc is not None:
+            desc = np.asarray(desc, np.float32)
+            # reshape(0, -1) is ambiguous for empty inputs — keep the
+            # trailing descriptor dim when n == 0
+            desc = (desc.reshape(n, -1) if n else
+                    desc.reshape(0, desc.shape[-1] if desc.ndim else 0))
+        else:
+            desc = np.zeros((n, 0), np.float32)
         cap = capacity or max(n, 1)
         d = desc.shape[1]
 

@@ -177,3 +177,36 @@ def load_and_validate_pickle(pickle_file: str) -> Dict:
         "total_images": len(image_names),
         "batch_info": {"files": [str(b) for b in batch_files]},
     }
+
+
+def load_images(image_paths: Sequence[str]) -> List[Tuple[np.ndarray, str]]:
+    """(image, filename) tuples for each decodable path, skipping failures
+    with a warning (others/utils.py:515-533). Images are float32 grayscale
+    [0,1] — this framework's detector contract — not BGR uint8."""
+    from tpu3drec.io.images import _read_image
+    out: List[Tuple[np.ndarray, str]] = []
+    for path in image_paths:
+        try:
+            img = _read_image(str(path))
+        except Exception as e:
+            print(f"Warning: Could not load image {path}: {e}")
+            continue
+        out.append((img, Path(path).name))
+    return out
+
+
+def keypoints_to_serializable(features) -> List[Dict]:
+    """Features -> list of plain keypoint dicts (others/utils.py glue)."""
+    from tpu3drec.compat import keypoints_to_list
+    return keypoints_to_list(features)
+
+
+def serializable_to_keypoints(serializable_kps: Sequence[Dict],
+                              desc=None, image_shape=()):
+    """Inverse of keypoints_to_serializable (others/utils.py:540-563):
+    rebuilds a Features pytree from keypoint dicts."""
+    from tpu3drec.compat import list_to_keypoints
+    if not serializable_kps:
+        return list_to_keypoints([], desc=desc, image_shape=image_shape)
+    return list_to_keypoints(list(serializable_kps), desc=desc,
+                             image_shape=image_shape)
