@@ -39,12 +39,12 @@ def test_kernel_matches_oracle():
     keep = np.ones(K, bool)
     keep[4] = False
 
-    imeta, fmeta = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
-                             jnp.asarray(layer), jnp.asarray(scl),
-                             jnp.asarray(keep), Hp, Wp, H, W)
+    imeta, fmeta, dims = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
+                                   jnp.asarray(layer), jnp.asarray(scl),
+                                   jnp.asarray(keep), Hp, Wp, H, W)
     angle, desc = jax.jit(ori_desc_windows)(
         jnp.asarray(dx, jnp.bfloat16), jnp.asarray(dy, jnp.bfloat16),
-        imeta, fmeta)
+        imeta, fmeta, dims)
     angle, desc = np.asarray(angle), np.asarray(desc)
 
     for k in range(K):
@@ -80,10 +80,13 @@ def test_kernel_vmap_batches_via_flattening():
              for b in range(B)]
     imeta = jnp.stack([m[0] for m in metas])
     fmeta = jnp.stack([m[1] for m in metas])
+    dims = metas[0][2]
 
-    a_b, d_b = jax.jit(jax.vmap(ori_desc_windows))(dxs, dys, imeta, fmeta)
+    a_b, d_b = jax.jit(jax.vmap(
+        ori_desc_windows, in_axes=(0, 0, 0, 0, None)))(
+            dxs, dys, imeta, fmeta, dims)
     for b in range(B):
-        a1, d1 = ori_desc_windows(dxs[b], dys[b], imeta[b], fmeta[b])
+        a1, d1 = ori_desc_windows(dxs[b], dys[b], imeta[b], fmeta[b], dims)
         np.testing.assert_allclose(np.asarray(a_b[b]), np.asarray(a1),
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(d_b[b]), np.asarray(d1),

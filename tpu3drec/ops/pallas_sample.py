@@ -206,28 +206,38 @@ _STAGES = "all"  # trace-time knob for perf bisection: all|ori|desc|dma
 _DMA_MODE = "dyn"  # dyn | static (fixed origin) | none (skip DMA)
 
 
-def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
+def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
                      angle_ref, desc_ref, win_ref, sem_ref):
-    # meta arrays ride flattened: 2-D SMEM operands are padded to 128
-    # lanes per row (1280 keypoints cost 640 KB of the 1 MB SMEM)
+    # meta arrays ride flattened (2-D SMEM operands are padded to 128
+    # lanes per row) and SLIM: 2 int32 + 3 f32 per keypoint = 20 B, so a
+    # 32-image x 1280-candidate batch costs ~820 KB of the 1 MB SMEM.
+    # Window origins are re-derived in-kernel from (x, y) — scalar ALU is
+    # free next to the DMA they gate.
     k = pl.program_id(0)
     nk = pl.num_programs(0)
-    ib = 4 * k
-    fb = 8 * k
-    valid = imeta_ref[ib + 3]
+    _, hp, wp = dxs_ref.shape
+    valid = imeta_ref[2 * k + 1]
     slot = jax.lax.rem(k, 2)
+
+    def _origin(j):
+        """8/128-aligned window origin for keypoint j (prep_meta math)."""
+        rxi_j = jnp.round(fmeta_ref[3 * j + 0]).astype(jnp.int32)
+        ryi_j = jnp.round(fmeta_ref[3 * j + 1]).astype(jnp.int32)
+        x0j = pl.multiple_of(
+            jnp.clip(((rxi_j - 64) // 128) * 128, 0, wp - WIN_W), 128)
+        y0j = pl.multiple_of(
+            jnp.clip(((ryi_j - 44) // 8) * 8, 0, hp - WIN_H), 8)
+        return x0j, y0j
 
     def _dma_pair(j, s):
         """The two window copies for keypoint j into buffer slot s."""
-        jb = 4 * j
         if _DMA_MODE == "static":
             layj = 0
             y0j = 0
             x0j = 0
         else:
-            x0j = pl.multiple_of(imeta_ref[jb + 0], 128)
-            y0j = pl.multiple_of(imeta_ref[jb + 1], 8)
-            layj = imeta_ref[jb + 2]
+            x0j, y0j = _origin(j)
+            layj = imeta_ref[2 * j]
         src = (dxs_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)],
                dys_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)])
         return [pltpu.make_async_copy(src[ch], win_ref.at[s, ch],
@@ -243,7 +253,7 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
             for cp in _dma_pair(k, slot):
                 cp.start()
 
-        @pl.when((k + 1 < nk) & (imeta_ref[4 * (k + 1) + 3] > 0))
+        @pl.when((k + 1 < nk) & (imeta_ref[2 * (k + 1) + 1] > 0))
         def _():
             for cp in _dma_pair(k + 1, jax.lax.rem(k + 1, 2)):
                 cp.start()
@@ -253,13 +263,12 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
 
     @pl.when(valid > 0)
     def _():
-        x0 = pl.multiple_of(imeta_ref[ib + 0], 128)
-        y0 = pl.multiple_of(imeta_ref[ib + 1], 8)
-        x = fmeta_ref[fb + 0]
-        y = fmeta_ref[fb + 1]
-        scl = fmeta_ref[fb + 2]
-        w_real = fmeta_ref[fb + 3]
-        h_real = fmeta_ref[fb + 4]
+        x0, y0 = _origin(k)
+        x = fmeta_ref[3 * k + 0]
+        y = fmeta_ref[3 * k + 1]
+        scl = fmeta_ref[3 * k + 2]
+        w_real = dims_ref[0]
+        h_real = dims_ref[1]
 
         if _DMA_MODE != "none":
             for cp in _dma_pair(k, slot):
@@ -452,14 +461,16 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dxs_ref, dys_ref,
 
 @jax.custom_batching.custom_vmap
 def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
-                     imeta: jnp.ndarray, fmeta: jnp.ndarray):
+                     imeta: jnp.ndarray, fmeta: jnp.ndarray,
+                     dims: jnp.ndarray):
     """Orientation + descriptor for K keypoints via window DMA.
 
     dxs, dys: (S, Hp, Wp) bf16 gradient stacks; Hp % 8 == 0, Hp >= WIN_H,
     Wp % 128 == 0, Wp >= WIN_W (zero-padded beyond the real image).
-    imeta: (K, 4) int32 [x0, y0, layer, valid] with x0 % 128 == 0 and
-           y0 % 8 == 0 (prep_meta builds these).
-    fmeta: (K, 8) f32 [x, y, scl, w_real, h_real, 0, 0, 0].
+    imeta: (K, 2) int32 [layer, valid]; aligned window origins are
+           re-derived in-kernel from (x, y) (prep_meta builds these).
+    fmeta: (K, 3) f32 [x, y, scl].
+    dims:  (2,) f32 [w_real, h_real] — shared by every keypoint.
     Returns (angle (K,), desc (K, 128)) f32; descriptors are normalized
     here in XLA (clip at 0.2, renorm to 512 — result_types.py parity).
 
@@ -470,7 +481,7 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
     interpret = jax.default_backend() != "tpu"
     K = imeta.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -496,7 +507,7 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
             jax.ShapeDtypeStruct((K, 16, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(imeta.reshape(-1), fmeta.reshape(-1), dxs, dys)
+    )(imeta.reshape(-1), fmeta.reshape(-1), dims, dxs, dys)
     desc = raw[:, :, :DESC_B].reshape(K, 128)  # (rc major, o minor)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
@@ -507,9 +518,11 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
 
 
 @ori_desc_windows.def_vmap
-def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, fmeta):
+def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, fmeta,
+                        dims):
     """Batch by flattening: (B,S,Hp,Wp) stacks -> (B*S,Hp,Wp), keypoints
-    -> (B*K,) with layer indices offset per batch element."""
+    -> (B*K,) with layer indices offset per batch element. `dims` is the
+    same for every batch element (static image shape) and stays (2,)."""
     def bcast(x, batched):
         return x if batched else jnp.broadcast_to(
             x[None], (axis_size,) + x.shape)
@@ -518,13 +531,16 @@ def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, fmeta):
     dys = bcast(dys, in_batched[1])
     imeta = bcast(imeta, in_batched[2])
     fmeta = bcast(fmeta, in_batched[3])
+    if in_batched[4]:
+        dims = dims[0]
     B, S, Hp, Wp = dxs.shape
     K = imeta.shape[1]
     layer_off = (jnp.arange(B, dtype=imeta.dtype) * S)[:, None]
-    imeta = imeta.at[:, :, 2].add(layer_off)
+    imeta = imeta.at[:, :, 0].add(layer_off)
     angle, desc = ori_desc_windows(
         dxs.reshape(B * S, Hp, Wp), dys.reshape(B * S, Hp, Wp),
-        imeta.reshape(B * K, 4), fmeta.reshape(B * K, fmeta.shape[-1]))
+        imeta.reshape(B * K, 2), fmeta.reshape(B * K, fmeta.shape[-1]),
+        dims)
     return (angle.reshape(B, K), desc.reshape(B, K, 128)), (True, True)
 
 
@@ -537,18 +553,11 @@ def pad_dims(h: int, w: int):
 
 def prep_meta(xs, ys, ls_layer, scl, keep, hp: int, wp: int,
               h_real: int, w_real: int):
-    """Aligned window origins + meta arrays for ori_desc_windows."""
-    rxi = jnp.round(xs).astype(jnp.int32)
-    ryi = jnp.round(ys).astype(jnp.int32)
-    # x0: keypoint lane offset in [64, 192) when unclipped
-    x0 = jnp.clip(((rxi - 64) // 128) * 128, 0, wp - WIN_W)
-    # y0: keypoint row offset in [44, 52) when unclipped
-    y0 = jnp.clip(((ryi - 44) // 8) * 8, 0, hp - WIN_H)
-    imeta = jnp.stack([x0, y0, ls_layer.astype(jnp.int32),
+    """Slim meta arrays for ori_desc_windows. Window origins are derived
+    in-kernel (keypoint lane offset in [64, 192) / row offset in [44, 52)
+    when unclipped); hp/wp come from the gradient-stack shape."""
+    imeta = jnp.stack([ls_layer.astype(jnp.int32),
                        keep.astype(jnp.int32)], axis=1)
-    z = jnp.zeros_like(scl)
-    fmeta = jnp.stack([xs, ys, scl,
-                       jnp.full_like(scl, float(w_real)),
-                       jnp.full_like(scl, float(h_real)),
-                       z, z, z], axis=1)
-    return imeta, fmeta
+    fmeta = jnp.stack([xs, ys, scl], axis=1)
+    dims = jnp.array([float(w_real), float(h_real)], jnp.float32)
+    return imeta, fmeta, dims

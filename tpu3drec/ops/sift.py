@@ -66,15 +66,29 @@ def num_octaves(h: int, w: int, min_size: int = 16) -> int:
 
 
 def _gaussian_pyramid(img: jnp.ndarray) -> jnp.ndarray:
-    """(N_LAYERS+3, H, W) progressively blurred stack (one octave)."""
+    """(N_LAYERS+3, H, W) progressively blurred stack (one octave).
+
+    Every level is blurred DIRECTLY from the octave base with the
+    composed sigma (Gaussians compose: sqrt(sig_i^2 - SIGMA0^2)) so the
+    five level blurs run as two batched (L, n, n) einsum-matmuls instead
+    of ten sequential dependent matmuls — bigger MXU ops, no serial
+    chain. Numerically equivalent to incremental blurring up to kernel
+    truncation (~1e-4, far below the DoG contrast gates)."""
+    from tpu3drec.ops.image import _band_matrix
+    h, w = img.shape
     k = 2.0 ** (1.0 / N_LAYERS)
-    gs = [img]
-    for i in range(1, N_LAYERS + 3):
-        sig_prev = SIGMA0 * (k ** (i - 1))
-        sig_total = sig_prev * k
-        sig = math.sqrt(sig_total ** 2 - sig_prev ** 2)
-        gs.append(gaussian_blur_matmul(gs[-1], sig))
-    return jnp.stack(gs)
+    L = N_LAYERS + 2
+    sigs = [math.sqrt((SIGMA0 * k ** i) ** 2 - SIGMA0 ** 2)
+            for i in range(1, L + 1)]
+    Rh = jnp.stack([jnp.asarray(_band_matrix(h, s)) for s in sigs])
+    Cw = jnp.stack([jnp.asarray(_band_matrix(w, s)) for s in sigs])
+    t = jnp.einsum("lhk,kw->lhw", Rh, img,
+                   precision=lax.Precision.HIGH,
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("lhw,lvw->lhv", t, Cw,
+                     precision=lax.Precision.HIGH,
+                     preferred_element_type=jnp.float32)
+    return jnp.concatenate([img[None], out], axis=0)
 
 
 def _shift_max3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -122,19 +136,33 @@ def _refine_candidates(dog: jnp.ndarray, sel_s, sel_y, sel_x,
     flat = dog.reshape(-1)
     base = sel_s * (h * w) + sel_y * w + sel_x
 
-    def grab(ds, dy, dx):
-        return _flat_gather(flat, base + ds * (h * w) + dy * w + dx)
+    # one linearized gather for all 19 stencil taps (19 separate K-sized
+    # gathers were op-dispatch bound: ~0.75 ms/image at 2.6K candidates)
+    stencil = [(0, 0, 0),
+               (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+               (0, 0, 1), (0, 0, -1),
+               (1, 1, 0), (1, -1, 0), (-1, 1, 0), (-1, -1, 0),
+               (1, 0, 1), (1, 0, -1), (-1, 0, 1), (-1, 0, -1),
+               (0, 1, 1), (0, 1, -1), (0, -1, 1), (0, -1, -1)]
+    offs = jnp.asarray([ds * (h * w) + dy * w + dx
+                        for ds, dy, dx in stencil], jnp.int32)
+    taps = _flat_gather(
+        flat, (base[:, None] + offs[None, :]).reshape(-1)
+    ).reshape(-1, len(stencil))
+    (v, v_sp, v_sm, v_yp, v_ym, v_xp, v_xm,
+     c_pp0, c_pm0, c_mp0, c_mm0,
+     c_p0p, c_p0m, c_m0p, c_m0m,
+     c_0pp, c_0pm, c_0mp, c_0mm) = [taps[:, i] for i in range(len(stencil))]
 
-    v = grab(0, 0, 0)
-    d_s = 0.5 * (grab(1, 0, 0) - grab(-1, 0, 0))
-    d_y = 0.5 * (grab(0, 1, 0) - grab(0, -1, 0))
-    d_x = 0.5 * (grab(0, 0, 1) - grab(0, 0, -1))
-    dss = grab(1, 0, 0) + grab(-1, 0, 0) - 2 * v
-    dyy = grab(0, 1, 0) + grab(0, -1, 0) - 2 * v
-    dxx = grab(0, 0, 1) + grab(0, 0, -1) - 2 * v
-    dsy = 0.25 * (grab(1, 1, 0) - grab(1, -1, 0) - grab(-1, 1, 0) + grab(-1, -1, 0))
-    dsx = 0.25 * (grab(1, 0, 1) - grab(1, 0, -1) - grab(-1, 0, 1) + grab(-1, 0, -1))
-    dyx = 0.25 * (grab(0, 1, 1) - grab(0, 1, -1) - grab(0, -1, 1) + grab(0, -1, -1))
+    d_s = 0.5 * (v_sp - v_sm)
+    d_y = 0.5 * (v_yp - v_ym)
+    d_x = 0.5 * (v_xp - v_xm)
+    dss = v_sp + v_sm - 2 * v
+    dyy = v_yp + v_ym - 2 * v
+    dxx = v_xp + v_xm - 2 * v
+    dsy = 0.25 * (c_pp0 - c_pm0 - c_mp0 + c_mm0)
+    dsx = 0.25 * (c_p0p - c_p0m - c_m0p + c_m0m)
+    dyx = 0.25 * (c_0pp - c_0pm - c_0mp + c_0mm)
 
     # closed-form symmetric 3x3 solve (Cramer / adjugate): XLA's batched
     # small-matrix linalg.solve/det lower to scalar LU loops on TPU and
@@ -401,11 +429,11 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
             if (hp, wp) != (hh, wh):
                 dxp = jnp.pad(dxp, ((0, 0), (0, hp - hh), (0, wp - wh)))
                 dyp = jnp.pad(dyp, ((0, 0), (0, hp - hh), (0, wp - wh)))
-            imeta, fmeta = prep_meta(xs, ys, layer_idx, scl_oct, keep,
-                                     hp, wp, hh, wh)
+            imeta, fmeta, dims = prep_meta(xs, ys, layer_idx, scl_oct,
+                                           keep, hp, wp, hh, wh)
             angle, desc = ori_desc_windows(
                 dxp.astype(jnp.bfloat16), dyp.astype(jnp.bfloat16),
-                imeta, fmeta)
+                imeta, fmeta, dims)
         else:
             # bf16 gradient storage: sampling is gather-bandwidth bound and
             # the orientation/descriptor histograms are insensitive to the
