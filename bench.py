@@ -211,7 +211,7 @@ def main():
     import os
     H, W = 480, 640
     MAX_FEATURES = 2048
-    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "32"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
 
     pair_fn = _make_pair_fn(max_features=MAX_FEATURES, num_hypotheses=256)

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tpu3drec.core.types import Features, Matches, ScoreType, DescriptorKind
 
@@ -80,12 +81,17 @@ def distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
 
 
 def _top2_min(dist: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Row-wise two smallest entries: returns idx (N, 2), val (N, 2)."""
+    """Row-wise two smallest entries: returns idx (N, 2), val (N, 2).
+
+    The winner is masked out with an iota compare (fuses into the second
+    reduction pass) rather than a scatter — `.at[rows, i1].set(inf)`
+    rewrites the whole (N, M) matrix through TPU scatter lowering."""
     i1 = jnp.argmin(dist, axis=1)
-    v1 = jnp.take_along_axis(dist, i1[:, None], axis=1)[:, 0]
-    masked = dist.at[jnp.arange(dist.shape[0]), i1].set(_INF)
+    v1 = jnp.min(dist, axis=1)
+    cols = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    masked = jnp.where(cols == i1[:, None], _INF, dist)
     i2 = jnp.argmin(masked, axis=1)
-    v2 = jnp.take_along_axis(masked, i2[:, None], axis=1)[:, 0]
+    v2 = jnp.min(masked, axis=1)
     return jnp.stack([i1, i2], axis=1), jnp.stack([v1, v2], axis=1)
 
 

@@ -108,7 +108,9 @@ def _sgm_scan(cost_hwd: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
         return out, out
 
     init = cost_hwd[0]
-    _, agg = lax.scan(step, init, cost_hwd[1:])
+    # each step's carry is tiny ((H, D) ~ 120 KB) so loop overhead
+    # dominates; unrolling fuses 8 DP steps per loop iteration
+    _, agg = lax.scan(step, init, cost_hwd[1:], unroll=8)
     return jnp.concatenate([init[None], agg], axis=0)
 
 
@@ -132,11 +134,13 @@ def winner_take_all(volume: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     D = volume.shape[0]
     dm = jnp.clip(d - 1, 0, D - 1)
     dp = jnp.clip(d + 1, 0, D - 1)
-    hh, ww = jnp.meshgrid(jnp.arange(volume.shape[1]),
-                          jnp.arange(volume.shape[2]), indexing="ij")
-    c0 = volume[d, hh, ww]
-    cm = volume[dm, hh, ww]
-    cp = volume[dp, hh, ww]
+    # neighbour costs via masked reductions (fuse into one volume pass);
+    # per-pixel (d, h, w) gathers are element-throughput bound on TPU
+    dd = lax.broadcasted_iota(jnp.int32, volume.shape, 0)
+    c0 = jnp.min(volume, axis=0)
+    big = jnp.float32(3.4e38)
+    cm = jnp.min(jnp.where(dd == dm[None], volume, big), axis=0)
+    cp = jnp.min(jnp.where(dd == dp[None], volume, big), axis=0)
     denom = cm - 2 * c0 + cp
     off = jnp.where(jnp.abs(denom) > 1e-9,
                     0.5 * (cm - cp) / jnp.where(jnp.abs(denom) > 1e-9,
