@@ -203,6 +203,51 @@ def bench_dense():
     }))
 
 
+def bench_deep():
+    """SuperPoint + LightGlue end-to-end pairs/s on TPU.
+
+    Runs at random init — attention/conv throughput is weight-independent
+    — so this measures the deep path's serving speed. Reference baseline:
+    9.3-14.5 s/pair on CPU torch (BASELINE.md "LightGlue end-to-end")."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from tpu3drec.models.superpoint import SuperPoint
+    from tpu3drec.models.lightglue import LightGlue
+
+    B = int(os.environ.get("BENCH_DEEP_BATCH", "8"))
+    REPS = int(os.environ.get("BENCH_REPS", "5"))
+    N, H, W = 1024, 480, 640
+    sp = SuperPoint(max_features=N)
+    sp.init_random((H, W))
+    lg = LightGlue(input_dim=256)
+    lg.init_random()
+
+    def pair_fn(img1, img2):
+        f1 = sp.extract(img1)
+        f2 = sp.extract(img2)
+        m = lg.match(f1, f2)
+        return jnp.sum(m.mask.astype(jnp.int32))
+
+    batched = jax.jit(jax.vmap(pair_fn))
+    imgs1 = jnp.asarray(np.stack([synthetic_photo(H, W, i)
+                                  for i in range(B)]))
+    imgs2 = jnp.asarray(np.stack([synthetic_photo(H, W, 100 + i)
+                                  for i in range(B)]))
+    _ = np.asarray(batched(imgs1, imgs2))        # compile
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        _ = np.asarray(batched(imgs1, imgs2))
+    dt = (time.perf_counter() - t0) / REPS
+    print(json.dumps({
+        "metric": f"deep pairs/s SuperPoint+LightGlue (1K kpts, 640x480,"
+                  f" batch {B})",
+        "value": round(B / dt, 3),
+        "unit": "pairs/s",
+        "vs_reference_cpu_s_per_pair": 9.3,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -246,8 +291,8 @@ if __name__ == "__main__":
     import os
     stages = os.environ.get("BENCH_STAGES", "")
     if "--all" in sys.argv or stages == "all":
-        stages = "matching,ba,sfm,dense"
+        stages = "matching,ba,sfm,dense,deep"
     stages = stages or "matching"
     for stage in stages.split(","):
-        {"matching": main, "ba": bench_ba,
-         "sfm": bench_sfm, "dense": bench_dense}[stage.strip()]()
+        {"matching": main, "ba": bench_ba, "sfm": bench_sfm,
+         "dense": bench_dense, "deep": bench_deep}[stage.strip()]()

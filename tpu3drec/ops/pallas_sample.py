@@ -484,8 +484,8 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
         num_scalar_prefetch=3,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 128), lambda k, *_: (k, 0, 0),
