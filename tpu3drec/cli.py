@@ -107,6 +107,15 @@ def _cmd_compat_matrix(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    from tpu3drec.serve import serve_forever
+    serve_forever(host=args.host, port=args.port,
+                  shape=(args.height, args.width),
+                  max_features=args.max_features,
+                  warmup=not args.no_warmup)
+    return 0
+
+
 def _cmd_auto(args) -> int:
     from tpu3drec.api import reconstruct_folder
     result = reconstruct_folder(
@@ -170,6 +179,17 @@ def build_parser() -> argparse.ArgumentParser:
     cm = sub.add_parser("compat-matrix",
                         help="print the detector/matcher compatibility matrix")
     cm.set_defaults(fn=_cmd_compat_matrix)
+
+    sv = sub.add_parser(
+        "serve", help="HTTP inference server (static-shape serving: every "
+        "request resized to one canonical shape -> one compiled program)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8765)
+    sv.add_argument("--height", type=int, default=480)
+    sv.add_argument("--width", type=int, default=640)
+    sv.add_argument("--max-features", type=int, default=1024)
+    sv.add_argument("--no-warmup", action="store_true")
+    sv.set_defaults(fn=_cmd_serve)
 
     au = sub.add_parser(
         "auto", help="end-to-end: matching -> SfM [-> dense] in one run "

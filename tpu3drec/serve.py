@@ -1,0 +1,214 @@
+"""HTTP inference serving for the matching stage.
+
+The reference deploys as docker-compose batch jobs only
+(FeatureMatchingExtraction/docker-compose.yaml); there is no online
+serving surface. This module adds one, built for the TPU execution
+model:
+
+- **Static shapes**: every request image is resized server-side to one
+  canonical (H, W) before detection, so the whole fleet of requests hits
+  a single traced+compiled XLA program (first request pays the compile;
+  the rest are steady-state).
+- **One chip, one compute stream**: requests serialize through a lock —
+  concurrent processes/streams can fault a single TPU chip, and
+  throughput comes from batching, not interleaving.
+- stdlib-only (http.server): no web-framework dependency to gate.
+
+Endpoints (JSON in/out):
+  GET  /health   -> {status, backend, compiled}
+  GET  /methods  -> detector registry listing
+  POST /match    -> body {image1, image2, method?, max_features?,
+                    ratio?} where imageN is either a base64-encoded
+                    image file (PNG/JPEG) or a nested list of floats;
+                    returns match stats + homography.
+  POST /detect   -> body {image, method?, max_features?}; returns
+                    keypoint count and (x, y, response) triples.
+
+Start: ``python -m tpu3drec serve --port 8765`` (or serve_forever()).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_SHAPE = (480, 640)   # canonical (H, W): one compiled program
+
+
+def _decode_image(payload, shape: Tuple[int, int]) -> np.ndarray:
+    """base64 image file or nested list -> (H, W) f32 [0,1] at `shape`."""
+    if isinstance(payload, str):
+        from PIL import Image
+        raw = base64.b64decode(payload)
+        with Image.open(io.BytesIO(raw)) as im:
+            img = np.asarray(im.convert("L"), np.float32) / 255.0
+    else:
+        img = np.asarray(payload, np.float32)
+        if img.ndim == 3:
+            img = img @ np.array([0.299, 0.587, 0.114], np.float32)
+        if img.max() > 2.0:
+            img = img / 255.0
+    if img.shape != shape:
+        from PIL import Image
+        pil = Image.fromarray(
+            (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8))
+        img = np.asarray(pil.resize((shape[1], shape[0])),
+                         np.float32) / 255.0
+    return img
+
+
+class MatchServer:
+    """Serving wrapper: owns the lock, the canonical shape, and stats."""
+
+    def __init__(self, shape: Tuple[int, int] = DEFAULT_SHAPE,
+                 max_features: int = 1024):
+        self.shape = tuple(shape)
+        self.max_features = max_features
+        self.lock = threading.Lock()
+        self.stats = {"requests": 0, "errors": 0, "total_s": 0.0}
+        self.compiled = False
+
+    # -- handlers ------------------------------------------------------
+
+    def health(self) -> Dict:
+        import jax
+        return {"status": "ok", "backend": jax.default_backend(),
+                "canonical_shape": list(self.shape),
+                "compiled": self.compiled, "stats": dict(self.stats)}
+
+    def methods(self) -> Dict:
+        from tpu3drec.api import _get_detector_registry
+        return {"methods": sorted(_get_detector_registry())}
+
+    def match(self, body: Dict) -> Dict:
+        from tpu3drec.api import match_images
+        img1 = _decode_image(body["image1"], self.shape)
+        img2 = _decode_image(body["image2"], self.shape)
+        method = body.get("method", "SIFT")
+        mf = int(body.get("max_features", self.max_features))
+        t0 = time.perf_counter()
+        with self.lock:
+            r = match_images(img1, img2, method=method, max_features=mf,
+                             ratio=float(body.get("ratio", 0.75)))
+        dt = time.perf_counter() - t0
+        self.compiled = True
+        H = r.homography
+        return {
+            "method": method,
+            "num_matches": int(r.num_matches),
+            "inlier_ratio": (None if r.inlier_ratio is None
+                             else float(r.inlier_ratio)),
+            "reprojection_error": (None if r.reprojection_error is None
+                                   else float(r.reprojection_error)),
+            "quality_score": float(r.get_quality_score()),
+            "homography": (None if H is None
+                           else np.asarray(H).tolist()),
+            "latency_s": round(dt, 4),
+        }
+
+    def detect(self, body: Dict) -> Dict:
+        from tpu3drec.api import detect_features
+        img = _decode_image(body["image"], self.shape)
+        method = body.get("method", "SIFT")
+        mf = int(body.get("max_features", self.max_features))
+        with self.lock:
+            f = detect_features(img, method, max_features=mf)
+        m = np.asarray(f.mask)
+        xy = np.asarray(f.xy)[m]
+        resp = np.asarray(f.response)[m]
+        self.compiled = True
+        return {
+            "method": method,
+            "num_keypoints": int(m.sum()),
+            "keypoints": [[float(x), float(y), float(s)]
+                          for (x, y), s in zip(xy, resp)],
+        }
+
+    # -- wiring --------------------------------------------------------
+
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):   # quiet by default
+                pass
+
+            def _send(self, code: int, obj: Dict):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                try:
+                    if self.path == "/health":
+                        self._send(200, server.health())
+                    elif self.path == "/methods":
+                        self._send(200, server.methods())
+                    else:
+                        self._send(404, {"error": f"no route {self.path}"})
+                except Exception as e:   # pragma: no cover
+                    server.stats["errors"] += 1
+                    self._send(500, {"error": str(e)})
+
+            def do_POST(self):
+                t0 = time.perf_counter()
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/match":
+                        out = server.match(body)
+                    elif self.path == "/detect":
+                        out = server.detect(body)
+                    else:
+                        self._send(404, {"error": f"no route {self.path}"})
+                        return
+                    server.stats["requests"] += 1
+                    server.stats["total_s"] += time.perf_counter() - t0
+                    self._send(200, out)
+                except KeyError as e:
+                    server.stats["errors"] += 1
+                    self._send(400, {"error": f"missing field {e}"})
+                except Exception as e:
+                    server.stats["errors"] += 1
+                    self._send(500, {"error": str(e)})
+
+        return Handler
+
+    def start(self, host: str = "127.0.0.1", port: int = 8765,
+              warmup: bool = False) -> ThreadingHTTPServer:
+        """Bind and return the server (caller runs serve_forever)."""
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        if warmup:
+            self._warmup()
+        return httpd
+
+    def _warmup(self) -> None:
+        """Trace+compile the canonical program before serving traffic."""
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0.0, 1.0, self.shape).astype(np.float32)
+        self.match({"image1": img.tolist(), "image2": img.tolist()})
+        self.stats["requests"] = 0
+        self.stats["total_s"] = 0.0
+
+
+def serve_forever(host: str = "127.0.0.1", port: int = 8765,
+                  shape: Tuple[int, int] = DEFAULT_SHAPE,
+                  max_features: int = 1024, warmup: bool = True) -> None:
+    ms = MatchServer(shape=shape, max_features=max_features)
+    httpd = ms.start(host, port, warmup=warmup)
+    print(f"tpu3drec serving on http://{host}:{port} "
+          f"(canonical {shape[0]}x{shape[1]}, warmup={warmup})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
