@@ -174,10 +174,14 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     y1 = jnp.minimum(y0 + 1, h - 1)
     fx = x - x0
     fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x1]
-    v10 = img[y1, x0]
-    v11 = img[y1, x1]
+    # one linearized gather for all four taps: 2-D advanced indexing
+    # lowers to the slow general gather on TPU; flat jnp.take is the
+    # fast form (and fusing the taps avoids 4 dispatches)
+    flat = img.reshape(-1)
+    idx = jnp.stack([y0 * w + x0, y0 * w + x1,
+                     y1 * w + x0, y1 * w + x1])
+    v00, v01, v10, v11 = jnp.take(flat, idx.reshape(-1),
+                                  axis=0).reshape(4, -1)
     return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
             + fy * ((1 - fx) * v10 + fx * v11))
 

@@ -175,8 +175,10 @@ def stereo_depth_rectified(left: jnp.ndarray, right: jnp.ndarray,
     h, w = left.shape
     xs = jnp.arange(w)[None, :].astype(jnp.float32) - disp
     xs_i = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
-    ys = jnp.arange(h)[:, None] * jnp.ones((1, w), jnp.int32)
-    dr = disp_r[ys.astype(jnp.int32), xs_i]
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    # linearized take (2-D advanced indexing is the slow general gather)
+    dr = jnp.take(disp_r.reshape(-1),
+                  (ys * w + xs_i).reshape(-1)).reshape(h, w)
     consistent = jnp.abs(disp - dr) <= lr_max_diff
 
     valid = consistent & (disp > 0.5)
