@@ -93,36 +93,36 @@ class DenseReconstructionPipeline:
         img_ref = jnp.asarray(np.asarray(images[ref], np.float32))
 
         # ---- stage 1: pairwise stereo vs reference --------------------
-        # ONE vmapped program over all neighbour views (the reference
-        # loops serially, stereo_matching.py:151-199; on TPU the batch
-        # amortizes compile + dispatch and fills the chip)
-        import functools
-        import jax
-        others = [n for n in names if n != ref]
-        rel_R, rel_t, K2s, imgs2 = [], [], [], []
-        for n in others:
+        # Serial over neighbour views, but every view reuses ONE traced
+        # pair program (static shapes). NB a vmapped batch over views was
+        # tried and is 7x SLOWER: the warp's linearized takes become
+        # batched general gathers under vmap (and one partitioning hit an
+        # XLA fusion-emitter CHECK crash) — per-view dispatch of the
+        # cached executable wins.
+        depths, valids, baselines = [], [], []
+        per_view = {}
+        for n in names:
+            if n == ref:
+                continue
             K2, R2, t2 = cam_of(n)
-            R_rel = R2 @ R_ref.T          # x2 = R_rel x_ref + t_rel
-            rel_R.append(R_rel.astype(np.float32))
-            rel_t.append((t2 - R_rel @ t_ref).astype(np.float32))
-            K2s.append(K2.astype(np.float32))
-            imgs2.append(np.asarray(images[n], np.float32))
-        step = jax.vmap(
-            functools.partial(stereo_depth_pair,
-                              num_disparities=self.num_disparities),
-            in_axes=(None, 0, None, 0, 0, 0))
-        outs = step(img_ref, jnp.asarray(np.stack(imgs2)),
-                    jnp.asarray(K_ref.astype(np.float32)),
-                    jnp.asarray(np.stack(K2s)),
-                    jnp.asarray(np.stack(rel_R)),
-                    jnp.asarray(np.stack(rel_t)))
-        valids_np = np.asarray(outs["valid"])
-        per_view = {n: {"valid_fraction": float(valids_np[i].mean())}
-                    for i, n in enumerate(others)}
-        baselines = [float(b) for b in np.asarray(outs["baseline"])]
+            # relative pose: x2 = R_rel x_ref + t_rel
+            R_rel = R2 @ R_ref.T
+            t_rel = t2 - R_rel @ t_ref
+            out = stereo_depth_pair(
+                img_ref, jnp.asarray(np.asarray(images[n], np.float32)),
+                jnp.asarray(K_ref.astype(np.float32)),
+                jnp.asarray(K2.astype(np.float32)),
+                jnp.asarray(R_rel.astype(np.float32)),
+                jnp.asarray(t_rel.astype(np.float32)),
+                num_disparities=self.num_disparities)
+            depths.append(out["depth"])
+            valids.append(out["valid"])
+            baselines.append(float(out["baseline"]))
+            per_view[n] = {"valid_fraction":
+                           float(np.asarray(out["valid"]).mean())}
         import jax.numpy as jnp2
         fused, fused_valid = fuse_depth_maps(
-            outs["depth"], outs["valid"],
+            jnp2.stack(depths), jnp2.stack(valids),
             jnp2.asarray(np.asarray(baselines, np.float32)),
             method=self.fusion_method)
 
