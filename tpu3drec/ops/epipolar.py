@@ -77,6 +77,9 @@ class EssentialResult(NamedTuple):
     residuals: jnp.ndarray  # squared, in normalized coords
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("threshold_px", "num_hypotheses", "refit", "method"))
 def find_essential(pts1: jnp.ndarray, pts2: jnp.ndarray,
                    K1: jnp.ndarray, K2: Optional[jnp.ndarray] = None,
                    mask: Optional[jnp.ndarray] = None,
@@ -130,7 +133,7 @@ def find_essential(pts1: jnp.ndarray, pts2: jnp.ndarray,
                      sample_size=5,
                      num_hypotheses=max(num_hypotheses // 10, 64),
                      models_per_sample=10,
-                     threshold=float(thr_norm))
+                     threshold=thr_norm)
     else:
         def solver(a, b):
             return solve_essential_8pt(a, b)
@@ -138,7 +141,7 @@ def find_essential(pts1: jnp.ndarray, pts2: jnp.ndarray,
         res = ransac(p1s, p2s, masks, key,
                      solver=solver, residual_fn=sampson_error,
                      sample_size=8, num_hypotheses=num_hypotheses,
-                     threshold=float(thr_norm))
+                     threshold=thr_norm)
     E = res.model
     # score the winning model on the full set
     r_full = sampson_error(E, p1n, p2n)
@@ -205,6 +208,7 @@ def triangulate_linear(p1n: jnp.ndarray, p2n: jnp.ndarray,
     return X
 
 
+@jax.jit
 def recover_pose(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray,
                  K1: jnp.ndarray, K2: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None
