@@ -81,29 +81,81 @@ def _constraints_at(E: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([det[None], C.reshape(-1)])
 
 
+def _hessenberg(A: jnp.ndarray) -> jnp.ndarray:
+    """Orthogonal reduction to upper Hessenberg form (unrolled
+    Householder steps; similarity, so det(H - zI) == det(A - zI))."""
+    n = A.shape[0]
+    H = A
+    for k in range(n - 2):
+        x = H[k + 1:, k]
+        nx = jnp.linalg.norm(x)
+        e1 = jnp.zeros((n - k - 1,), A.dtype).at[0].set(1.0)
+        sgn = jnp.where(x[0] >= 0, 1.0, -1.0)
+        v = x + sgn * nx * e1
+        nv = jnp.linalg.norm(v)
+        safe = nv > 1e-30
+        v = jnp.where(safe, v / jnp.where(safe, nv, 1.0),
+                      jnp.zeros_like(v))
+        H = H.at[k + 1:, :].add(-2.0 * jnp.outer(v, v @ H[k + 1:, :]))
+        H = H.at[:, k + 1:].add(-2.0 * jnp.outer(H[:, k + 1:] @ v, v))
+    return H
+
+
+def _hyman_signvals(H: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Sign-faithful det(H - z I) for upper-Hessenberg H, vectorized
+    over a batch of shifts z — Hyman's method: fix x_{n-1} = 1, solve
+    rows n-1..1 backward for x_{i-1} (each has one unknown times the
+    constant subdiagonal b_i), then row 0 gives alpha with
+    det = (-1)^(n-1) alpha * prod(b_i). The constant positive/negative
+    factors and the per-shift positive rescaling (overflow guard) leave
+    every SIGN unchanged, which is all bracketing and bisection use.
+    Pure fused vector arithmetic: no LU anywhere."""
+    n = H.shape[0]
+    b = [H[i, i - 1] for i in range(1, n)]
+    bsafe = [jnp.where(jnp.abs(bi) > 1e-25, bi,
+                       jnp.where(bi >= 0, 1e-25, -1e-25)) for bi in b]
+    xs = [jnp.zeros_like(z) for _ in range(n)]
+    xs[n - 1] = jnp.ones_like(z)
+    for i in range(n - 1, 0, -1):
+        s = -z * xs[i]
+        for j in range(i, n):
+            s = s + H[i, j] * xs[j]
+        xi = -s / bsafe[i - 1]
+        m = jnp.maximum(jnp.abs(xi), 1.0)      # positive: sign-safe
+        inv_m = 1.0 / m
+        xs = [x * inv_m for x in xs]
+        xs[i - 1] = xi * inv_m
+    alpha = -z * xs[0]
+    for j in range(n):
+        alpha = alpha + H[0, j] * xs[j]
+    sign_b = 1.0
+    for bi in b:
+        sign_b = sign_b * jnp.sign(
+            jnp.where(jnp.abs(bi) > 1e-25, bi, 1.0))
+    return alpha * sign_b * ((-1.0) ** (n - 1))
+
+
 def _real_roots(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Up to N_ROOTS real eigenvalues of A as sign-change roots of
-    p(z) = det(A - z I), grid-bracketed then bisected with STATIC loops.
+    p(z) = det(A - z I) on a tan-spaced projective grid (covers ALL of
+    R with fine resolution near 0 where eigenvalues cluster), bisected
+    with STATIC loops. Returns (roots, valid).
 
-    p is evaluated as a batched 10x10 determinant (LU) rather than via
-    explicit characteristic-polynomial coefficients: a degree-10 charpoly
-    spans ~|lambda_max|^10 in magnitude and is numerically dead in float32,
-    while det(A - z I) stays well-scaled. Returns (roots, valid)."""
-    n = A.shape[0]
-    I = jnp.eye(n, dtype=A.dtype)
+    p used to be evaluated as a batched 10x10 LU determinant at every
+    grid/bisection point (~1.5k scalar-loop LUs per hypothesis, ~4 ms on
+    TPU); A is now reduced ONCE to Hessenberg form and p's sign comes
+    from Hyman's O(n^2) recurrence — fused vector math, no LU. Two roots
+    inside one grid cell remain an accepted per-sample failure mode that
+    RANSAC's sample redundancy absorbs."""
+    H = _hessenberg(A)
 
     def p(z):
-        return jnp.linalg.det(A - z * I)
+        return _hyman_signvals(H, z)
 
-    # tan-spaced projective grid: covers ALL of R (solutions can sit at
-    # z ~ 30 when the null-space parametrization puts them far out) with
-    # fine resolution near 0 where eigenvalues cluster. Bracketing happens
-    # in theta; two roots inside one cell are an accepted per-sample
-    # failure mode that RANSAC's sample redundancy absorbs.
     eps = 1.0 / _GRID_N
     thetas = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, _GRID_N)
     grid = jnp.tan(thetas)
-    vals = jax.vmap(p)(grid)
+    vals = p(grid)
     sign = jnp.sign(vals)
     change = (sign[:-1] * sign[1:]) < 0           # (_GRID_N-1,)
     scores = change.astype(jnp.float32) * 2.0 \
@@ -112,12 +164,12 @@ def _real_roots(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     valid = top >= 2.0
     ta = thetas[idx]
     tb = thetas[idx + 1]
-    fa = jax.vmap(p)(jnp.tan(ta))
+    fa = p(jnp.tan(ta))
 
     def body(carry, _):
         ta, tb, fa = carry
         tm = 0.5 * (ta + tb)
-        fm = jax.vmap(p)(jnp.tan(tm))
+        fm = p(jnp.tan(tm))
         left = (fa * fm) <= 0
         return (jnp.where(left, ta, tm), jnp.where(left, tm, tb),
                 jnp.where(left, fa, fm)), None
@@ -126,8 +178,10 @@ def _real_roots(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
                                   length=_BISECT_ITERS)
     roots = jnp.tan(0.5 * (ta + tb))
 
-    # Newton polish: p'(z) = -p(z) * tr((A - zI)^-1), so the Newton step
-    # is z <- z + 1 / tr((A - zI)^-1) — no explicit derivative needed.
+    # Newton polish against the true determinant:
+    # p'(z) = -p(z) * tr((A - zI)^-1)  =>  step = 1 / tr((A - zI)^-1)
+    I = jnp.eye(A.shape[0], dtype=A.dtype)
+
     def newton(z, _):
         inv_tr = jnp.trace(jnp.linalg.inv(A - z[:, None, None] * I[None]),
                            axis1=1, axis2=2)
@@ -135,7 +189,7 @@ def _real_roots(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return z + jnp.clip(step, -0.1 * (1 + jnp.abs(z)),
                             0.1 * (1 + jnp.abs(z))), None
 
-    roots, _ = jax.lax.scan(newton, roots, None, length=3)
+    roots, _ = jax.lax.scan(newton, roots, None, length=2)
     return roots, valid
 
 
