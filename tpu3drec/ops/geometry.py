@@ -48,6 +48,37 @@ def normalize_points(pts: jnp.ndarray, mask: Optional[jnp.ndarray] = None
     return centered * s, T
 
 
+def _nullvec_minimal_qr(A: jnp.ndarray) -> jnp.ndarray:
+    """Exact unit right null vector of an (n-1, n) matrix.
+
+    Householder QR of A^T = QR: A q = R^T Q^T Q e_n = R^T e_n = 0 since
+    the last row of the (n, n-1) upper-triangular R is below every
+    diagonal. Orthogonal transforms only (backward stable, no squared
+    condition number), unrolled to fused vector ops — no eigh, no LU."""
+    m, n = A.shape           # m == n - 1
+    R = A.T                  # (n, m)
+    vs = []
+    for k in range(m):
+        x = R[k:, k]
+        nx = jnp.linalg.norm(x)
+        e1 = jnp.zeros((n - k,), A.dtype).at[0].set(1.0)
+        sgn = jnp.where(x[0] >= 0, 1.0, -1.0)
+        v = x + sgn * nx * e1
+        nv = jnp.linalg.norm(v)
+        safe = nv > 1e-30
+        # degenerate column: reflector degrades to a sign flip (still
+        # orthogonal, QR remains valid up to column signs)
+        v = jnp.where(safe, v / jnp.where(safe, nv, 1.0), e1)
+        vs.append(v)
+        R = R.at[k:, :].add(-2.0 * jnp.outer(v, v @ R[k:, :]))
+    # q = Q e_n = H_1 (H_2 (... (H_m e_n)))
+    q = jnp.zeros((n,), A.dtype).at[n - 1].set(1.0)
+    for k in range(m - 1, -1, -1):
+        coef = vs[k] @ q[k:]
+        q = q.at[k:].add(-2.0 * coef * vs[k])
+    return q
+
+
 def _smallest_singular_vector(A: jnp.ndarray,
                               refine: bool = True) -> jnp.ndarray:
     """Right singular vector for the smallest singular value of A (m x n).
@@ -62,6 +93,13 @@ def _smallest_singular_vector(A: jnp.ndarray,
     models only need scoring accuracy (the winner is refit with full
     refinement afterwards).
     """
+    m, n = A.shape
+    if m == n - 1:
+        # minimal sample: the right null vector is EXACT — Householder QR
+        # of A^T and read off Q's last column. Pure unrolled vector math;
+        # batched eigh of the n x n normal matrix lowers to scalar loops
+        # on TPU and dominated the 8-point RANSAC hypothesis stage.
+        return _nullvec_minimal_qr(A)
     AtA = A.T @ A
     _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     v = vecs[:, 0]
