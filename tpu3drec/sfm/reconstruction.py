@@ -166,18 +166,23 @@ class Reconstruction:
         the reference's incremental 'last <=3 cameras' BA
         (bundle_adjusment.py:49-113)."""
         import jax.numpy as jnp
-        from tpu3drec.ops.ba import BAProblem, make_cam_params
+        from tpu3drec.ops.ba import BAProblem
 
         names = sorted(self.cameras)
         cam_idx = {n: i for i, n in enumerate(names)}
-        from tpu3drec.ops.lie import log_so3
-        cams = np.stack([
-            np.asarray(make_cam_params(
-                np.asarray(log_so3(jnp.asarray(
-                    self.cameras[n].R.astype(np.float32)))),
-                self.cameras[n].t.astype(np.float32),
-                self.cameras[n].K.astype(np.float32)))
-            for n in names])
+        # pack [rvec, tvec, fx, fy, cx, cy] on the HOST: one device
+        # dispatch per camera per BA call (~30-80 ms of tunnel latency
+        # each) dominated incremental SfM
+        from tpu3drec.ops.lie import log_so3_np
+        Rs = np.stack([self.cameras[n].R for n in names])
+        rvecs = log_so3_np(Rs).astype(np.float32)
+        cams = np.concatenate([
+            rvecs,
+            np.stack([self.cameras[n].t for n in names]).astype(np.float32),
+            np.stack([[self.cameras[n].K[0, 0], self.cameras[n].K[1, 1],
+                       self.cameras[n].K[0, 2], self.cameras[n].K[1, 2]]
+                      for n in names]).astype(np.float32),
+        ], axis=1)
         pts = self.points_array().astype(np.float32)
         obs_cam = np.array([cam_idx[c] for c, _, _ in self.observations],
                            np.int32)
@@ -237,15 +242,16 @@ class Reconstruction:
 
     def update_from_ba(self, cam_params: np.ndarray, points: np.ndarray,
                        names: List[str]) -> None:
-        import jax.numpy as jnp
-        from tpu3drec.ops.ba import unpack_cam_params
-        from tpu3drec.ops.lie import exp_so3
-        cam_params = np.asarray(cam_params)
+        from tpu3drec.ops.lie import exp_so3_np
+        cam_params = np.asarray(cam_params, np.float64)
+        Rs = exp_so3_np(cam_params[:len(names), :3])  # host, batched
         for i, n in enumerate(names):
-            rvec, tvec, K = unpack_cam_params(jnp.asarray(cam_params[i]))
-            self.cameras[n].R = np.asarray(exp_so3(rvec), np.float64)
-            self.cameras[n].t = np.asarray(tvec, np.float64)
-            self.cameras[n].K = np.asarray(K, np.float64)
+            p = cam_params[i]
+            self.cameras[n].R = Rs[i]
+            self.cameras[n].t = p[3:6].copy()
+            self.cameras[n].K = np.array([[p[6], 0.0, p[8]],
+                                          [0.0, p[7], p[9]],
+                                          [0.0, 0.0, 1.0]])
         pts = np.asarray(points, np.float64)
         for i in range(min(len(self.points), len(pts))):
             self.points[i] = pts[i]
