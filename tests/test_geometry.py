@@ -130,3 +130,29 @@ def test_ransac_with_mask_and_padding():
                           key=jax.random.PRNGKey(2))
     assert bool(res.success)
     assert not np.any(np.asarray(res.inliers)[150:])
+
+
+def test_lie_numpy_twins_roundtrip():
+    """Host-side log/exp SO(3) twins (used for BA problem packing) match
+    each other and the jax versions, including the pi neighbourhood."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu3drec.ops.lie import exp_so3, log_so3_np, exp_so3_np
+
+    rng = np.random.default_rng(3)
+    ws = rng.standard_normal((100, 3)) * rng.uniform(0, 3.1, (100, 1))
+    ws[0] = 0.0
+    ws[1] = [np.pi, 0.0, 0.0]
+    ws[2] = [0.0, 1e-9, 0.0]
+    ws[3] = [0.0, 0.0, np.pi - 1e-4]
+    Rs = exp_so3_np(ws)
+    # orthonormality
+    RtR = np.einsum("nij,nik->njk", Rs, Rs)
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
+                               atol=1e-12)
+    # round trip through the log map
+    Rr = exp_so3_np(log_so3_np(Rs))
+    np.testing.assert_allclose(Rs, Rr, atol=1e-8)
+    # parity vs the jax exp map
+    Rj = np.asarray(exp_so3(jnp.asarray(ws[4], jnp.float32)))
+    np.testing.assert_allclose(Rs[4], Rj, atol=1e-5)
