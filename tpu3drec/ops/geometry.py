@@ -303,6 +303,8 @@ def _f_solver(p1, p2):
     return solve_fundamental_8pt(p1, p2, fast=True)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "num_hypotheses", "refit"))
 def find_fundamental(pts1: jnp.ndarray, pts2: jnp.ndarray,
                      mask: Optional[jnp.ndarray] = None,
                      threshold: float = 3.0,
