@@ -56,6 +56,7 @@ def sampson_correct(pts1: jnp.ndarray, pts2: jnp.ndarray,
 
 
 def _hs_one(p1: jnp.ndarray, p2: jnp.ndarray, F: jnp.ndarray,
+            e1g: jnp.ndarray, e2g: jnp.ndarray,
             n_grid: int = 64, n_bisect: int = 30):
     """Exact Hartley-Sturm optimal correction for ONE correspondence
     (Hartley & Zisserman 12.5.2; reference triangulation.py:18-114).
@@ -63,20 +64,24 @@ def _hs_one(p1: jnp.ndarray, p2: jnp.ndarray, F: jnp.ndarray,
     The degree-6 polynomial g(t) is rooted with a tan-grid bracketing +
     bisection sweep instead of companion-matrix eigenvalues: TPU has no
     nonsymmetric eig, and the det-free bracketing was already the stable
-    form for the 5-point solver (ops/five_point.py)."""
-    # translate both points to the origin
-    T1 = jnp.array([[1.0, 0, -p1[0]], [0, 1, -p1[1]], [0, 0, 1]])
-    T2 = jnp.array([[1.0, 0, -p2[0]], [0, 1, -p2[1]], [0, 0, 1]])
-    # F maps view-1 points to view-2 lines: x2^T F x1 = 0
-    Fm = jnp.linalg.inv(T2).T @ F @ jnp.linalg.inv(T1)
+    form for the 5-point solver (ops/five_point.py).
 
-    # epipoles: F e1 = 0, F^T e2 = 0 (smallest-eigenvector of F^T F)
-    def null3(A):
-        _, v = jnp.linalg.eigh(A.T @ A)
-        return v[:, 0]
+    e1g/e2g: the PAIR-GLOBAL epipoles (null(F), null(F^T)), computed once
+    by the caller — the translated F's epipoles are just T e_g, so the
+    two per-point 3x3 eigensolves (scalar loops on TPU, x N points)
+    hoist out entirely. Translation inverses are written closed-form."""
+    # translate both points to the origin; closed-form conjugation
+    # Fm = T2^-T F T1^-1 with T = [[1,0,-p],[0,1,-q],[0,0,1]]
+    inv_T1 = jnp.array([[1.0, 0, p1[0]], [0, 1.0, p1[1]], [0, 0, 1.0]])
+    inv_T2t = jnp.array([[1.0, 0, 0], [0, 1.0, 0],
+                         [p2[0], p2[1], 1.0]])
+    Fm = inv_T2t @ F @ inv_T1
 
-    e1 = null3(Fm)
-    e2 = null3(Fm.T)
+    # epipoles of Fm: Fm (T1 e1g) = T2^-T F e1g = 0
+    e1 = jnp.array([e1g[0] - p1[0] * e1g[2],
+                    e1g[1] - p1[1] * e1g[2], e1g[2]])
+    e2 = jnp.array([e2g[0] - p2[0] * e2g[2],
+                    e2g[1] - p2[1] * e2g[2], e2g[2]])
     e1 = e1 / jnp.maximum(jnp.sqrt(e1[0] ** 2 + e1[1] ** 2), 1e-12)
     e2 = e2 / jnp.maximum(jnp.sqrt(e2[0] ** 2 + e2[1] ** 2), 1e-12)
     R1 = jnp.array([[e1[0], e1[1], 0], [-e1[1], e1[0], 0], [0, 0, 1.0]])
@@ -138,9 +143,9 @@ def _hs_one(p1: jnp.ndarray, p2: jnp.ndarray, F: jnp.ndarray,
     l2 = jnp.where(use_inf, l2_inf, l2_t)
     x1h = closest_on_line(l1)
     x2h = closest_on_line(l2)
-    # undo rotations and translations
-    x1h = jnp.linalg.inv(T1) @ (R1.T @ x1h)
-    x2h = jnp.linalg.inv(T2) @ (R2.T @ x2h)
+    # undo rotations and translations (closed-form translation inverse)
+    x1h = inv_T1 @ (R1.T @ x1h)
+    x2h = inv_T2t.T @ (R2.T @ x2h)
     w1 = jnp.where(jnp.abs(x1h[2]) > 1e-12, x1h[2], 1.0)
     w2 = jnp.where(jnp.abs(x2h[2]) > 1e-12, x2h[2], 1.0)
     return x1h[:2] / w1, x2h[:2] / w2
@@ -153,7 +158,32 @@ def hartley_sturm_correct(pts1: jnp.ndarray, pts2: jnp.ndarray,
     """Exact optimal correction of correspondences onto x2' F x1 = 0
     (batched). Falls back to the input when the geometry degenerates
     (zero epipolar error already)."""
-    c1, c2 = jax.vmap(_hs_one, in_axes=(0, 0, None))(pts1, pts2, F)
+    def null3(A):
+        """Null direction of a rank-2 3x3, refined to f32 machine
+        accuracy: the correction is sensitive to the epipole direction
+        (computed once per pair, so precision here is cheap). Inverse
+        iteration uses the closed-form 3x3 adjugate — no LU."""
+        M = A.T @ A
+        _, vecs = jnp.linalg.eigh(M)
+        v = vecs[:, 0]
+        B = M + (1e-12 + 1e-6 * jnp.trace(M)) * jnp.eye(3, dtype=M.dtype)
+
+        def adj_mul(B, x):
+            c0 = jnp.cross(B[:, 1], B[:, 2])
+            c1 = jnp.cross(B[:, 2], B[:, 0])
+            c2 = jnp.cross(B[:, 0], B[:, 1])
+            adj = jnp.stack([c0, c1, c2], axis=0)   # adj(B) rows
+            return adj @ x
+
+        for _ in range(3):
+            v = adj_mul(B, v)
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+        return v
+
+    e1g = null3(F)
+    e2g = null3(F.T)
+    c1, c2 = jax.vmap(_hs_one, in_axes=(0, 0, None, None, None))(
+        pts1, pts2, F, e1g, e2g)
     # guard NaNs from degenerate configurations
     bad = (~jnp.isfinite(c1).all(axis=1)) | (~jnp.isfinite(c2).all(axis=1))
     c1 = jnp.where(bad[:, None], pts1, c1)
