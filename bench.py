@@ -256,7 +256,7 @@ def main():
     import os
     H, W = 480, 640
     MAX_FEATURES = 2048
-    BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "64"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
 
     pair_fn = _make_pair_fn(max_features=MAX_FEATURES, num_hypotheses=256)

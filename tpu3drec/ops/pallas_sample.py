@@ -209,20 +209,29 @@ _DMA_MODE = "dyn"  # dyn | static (fixed origin) | none (skip DMA)
 def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
                      angle_ref, desc_ref, win_ref, sem_ref):
     # meta arrays ride flattened (2-D SMEM operands are padded to 128
-    # lanes per row) and SLIM: 2 int32 + 3 f32 per keypoint = 20 B, so a
-    # 32-image x 1280-candidate batch costs ~820 KB of the 1 MB SMEM.
-    # Window origins are re-derived in-kernel from (x, y) — scalar ALU is
-    # free next to the DMA they gate.
+    # lanes per row) and SLIM: [lv, xy_pack] int32 + scale f32 = 12 B per
+    # keypoint, so a 64-image x 1280-candidate batch costs ~983 KB of the
+    # 1 MB SMEM budget (which counts ALL prefetch operands together).
+    # Window origins are re-derived in-kernel from the fixed-point (x, y)
+    # — scalar ALU is free next to the DMA it gates.
     k = pl.program_id(0)
     nk = pl.num_programs(0)
     _, hp, wp = dxs_ref.shape
-    valid = imeta_ref[2 * k + 1]
+    valid = imeta_ref[2 * k + 0]   # lv sentinel: layer+1 if valid else 0
     slot = jax.lax.rem(k, 2)
+
+    def _coords(j):
+        """(xq, yq) 1/64-px fixed-point coords of keypoint j."""
+        pack = imeta_ref[2 * j + 1]
+        xq = pack & 0xFFFF
+        yq = (pack >> 16) & 0xFFFF
+        return xq, yq
 
     def _origin(j):
         """8/128-aligned window origin for keypoint j (prep_meta math)."""
-        rxi_j = jnp.round(fmeta_ref[3 * j + 0]).astype(jnp.int32)
-        ryi_j = jnp.round(fmeta_ref[3 * j + 1]).astype(jnp.int32)
+        xq, yq = _coords(j)
+        rxi_j = (xq + 32) >> 6     # round(x)
+        ryi_j = (yq + 32) >> 6
         x0j = pl.multiple_of(
             jnp.clip(((rxi_j - 64) // 128) * 128, 0, wp - WIN_W), 128)
         y0j = pl.multiple_of(
@@ -237,7 +246,7 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
             x0j = 0
         else:
             x0j, y0j = _origin(j)
-            layj = imeta_ref[2 * j]
+            layj = imeta_ref[2 * j] - 1
         src = (dxs_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)],
                dys_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)])
         return [pltpu.make_async_copy(src[ch], win_ref.at[s, ch],
@@ -253,7 +262,7 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
             for cp in _dma_pair(k, slot):
                 cp.start()
 
-        @pl.when((k + 1 < nk) & (imeta_ref[2 * (k + 1) + 1] > 0))
+        @pl.when((k + 1 < nk) & (imeta_ref[2 * (k + 1)] > 0))
         def _():
             for cp in _dma_pair(k + 1, jax.lax.rem(k + 1, 2)):
                 cp.start()
@@ -264,9 +273,10 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
     @pl.when(valid > 0)
     def _():
         x0, y0 = _origin(k)
-        x = fmeta_ref[3 * k + 0]
-        y = fmeta_ref[3 * k + 1]
-        scl = fmeta_ref[3 * k + 2]
+        xq, yq = _coords(k)
+        x = xq.astype(jnp.float32) * (1.0 / 64.0)
+        y = yq.astype(jnp.float32) * (1.0 / 64.0)
+        scl = fmeta_ref[k]
         w_real = dims_ref[0]
         h_real = dims_ref[1]
 
@@ -274,13 +284,15 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
             for cp in _dma_pair(k, slot):
                 cp.wait()
 
-        rxi = jnp.round(x)
-        ryi = jnp.round(y)
-        fx = x - rxi
-        fy = y - ryi
+        # same fixed-point rounding as _origin (jnp.round's half-even
+        # could disagree by 1 at exact half-pixels)
+        rxi_i = (xq + 32) >> 6
+        ryi_i = (yq + 32) >> 6
+        rxi = rxi_i.astype(jnp.float32)
+        ryi = ryi_i.astype(jnp.float32)
         # keypoint offset inside the DMA window
-        xoff = rxi.astype(jnp.int32) - x0
-        yoff = ryi.astype(jnp.int32) - y0
+        xoff = rxi_i - x0
+        yoff = ryi_i - y0
         # 8-quantized so the dynamic VMEM row read is provably aligned
         row0 = pl.multiple_of(
             jnp.clip(((yoff - 40) // 8) * 8, 0, WIN_H - CORE_H), 8)
@@ -467,9 +479,13 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
 
     dxs, dys: (S, Hp, Wp) bf16 gradient stacks; Hp % 8 == 0, Hp >= WIN_H,
     Wp % 128 == 0, Wp >= WIN_W (zero-padded beyond the real image).
-    imeta: (K, 2) int32 [layer, valid]; aligned window origins are
-           re-derived in-kernel from (x, y) (prep_meta builds these).
-    fmeta: (K, 3) f32 [x, y, scl].
+    imeta: (K, 2) int32 [lv, xy_pack]: lv = layer+1 (0 = invalid slot);
+           xy_pack = round(64 x) | (round(64 y) << 16) — 1/64-px
+           fixed point (0.016 px quantization, far below the detector's
+           ~0.1 px subpixel accuracy). Aligned window origins are
+           re-derived in-kernel. 12 B per keypoint total, so batch 64 at
+           1280 candidates fits the 1 MB SMEM prefetch budget.
+    fmeta: (K,) f32 scale.
     dims:  (2,) f32 [w_real, h_real] — shared by every keypoint.
     Returns (angle (K,), desc (K, 128)) f32; descriptors are normalized
     here in XLA (clip at 0.2, renorm to 512 — result_types.py parity).
@@ -507,7 +523,8 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
             jax.ShapeDtypeStruct((K, 16, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(imeta.reshape(-1), fmeta.reshape(-1), dims, dxs, dys)
+    )(imeta.reshape(-1), fmeta.reshape(-1).astype(jnp.float32), dims,
+      dxs, dys)
     desc = raw[:, :, :DESC_B].reshape(K, 128)  # (rc major, o minor)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
@@ -536,10 +553,12 @@ def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, fmeta,
     B, S, Hp, Wp = dxs.shape
     K = imeta.shape[1]
     layer_off = (jnp.arange(B, dtype=imeta.dtype) * S)[:, None]
-    imeta = imeta.at[:, :, 0].add(layer_off)
+    # lv sentinel (0 = invalid) must stay 0 through the batch offset
+    lv = imeta[:, :, 0]
+    imeta = imeta.at[:, :, 0].set(jnp.where(lv > 0, lv + layer_off, 0))
     angle, desc = ori_desc_windows(
         dxs.reshape(B * S, Hp, Wp), dys.reshape(B * S, Hp, Wp),
-        imeta.reshape(B * K, 2), fmeta.reshape(B * K, fmeta.shape[-1]),
+        imeta.reshape(B * K, 2), fmeta.reshape(B * K),
         dims)
     return (angle.reshape(B, K), desc.reshape(B, K, 128)), (True, True)
 
@@ -553,11 +572,15 @@ def pad_dims(h: int, w: int):
 
 def prep_meta(xs, ys, ls_layer, scl, keep, hp: int, wp: int,
               h_real: int, w_real: int):
-    """Slim meta arrays for ori_desc_windows. Window origins are derived
-    in-kernel (keypoint lane offset in [64, 192) / row offset in [44, 52)
-    when unclipped); hp/wp come from the gradient-stack shape."""
-    imeta = jnp.stack([ls_layer.astype(jnp.int32),
-                       keep.astype(jnp.int32)], axis=1)
-    fmeta = jnp.stack([xs, ys, scl], axis=1)
+    """Slim meta arrays for ori_desc_windows (12 B/keypoint). Window
+    origins are derived in-kernel (keypoint lane offset in [64, 192) /
+    row offset in [44, 52) when unclipped); hp/wp come from the
+    gradient-stack shape; (x, y) ride as 1/64-px fixed point."""
+    xq = jnp.clip(jnp.round(xs * 64.0), 0, 65535).astype(jnp.int32)
+    yq = jnp.clip(jnp.round(ys * 64.0), 0, 65535).astype(jnp.int32)
+    pack = xq | (yq << 16)
+    lv = jnp.where(keep, ls_layer.astype(jnp.int32) + 1, 0)
+    imeta = jnp.stack([lv, pack], axis=1)
+    fmeta = jnp.asarray(scl, jnp.float32)
     dims = jnp.array([float(w_real), float(h_real)], jnp.float32)
     return imeta, fmeta, dims
