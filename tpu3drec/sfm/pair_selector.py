@@ -60,12 +60,27 @@ def _baseline_score(inlier_ratio: float, median_disp: float,
     return max(0.0, 1.0 - (rel - 0.4))
 
 
+def _pair_cap(n: int) -> int:
+    """Coarse capacity bucket: each distinct correspondence count would
+    otherwise trace+compile its own F-RANSAC program (seconds per shape
+    on the remote-compile TPU path)."""
+    cap = 512
+    while cap < n:
+        cap *= 4
+    return cap
+
+
 def score_pair(correspondences: np.ndarray,
                image_size: Tuple[int, int] = (640, 480),
                config: ScoringConfig = ScoringConfig(),
                confidence: Optional[float] = None,
-               key_seed: int = 0) -> Dict:
-    """Score one pair's Nx4 correspondences; returns component scores."""
+               key_seed: int = 0,
+               precomputed_geom: Optional[Tuple[float, np.ndarray]] = None
+               ) -> Dict:
+    """Score one pair's Nx4 correspondences; returns component scores.
+
+    precomputed_geom: (inlier_ratio, inlier_mask[:n]) from a batched
+    F-RANSAC (score_all_pairs) — skips the per-pair device call."""
     n = len(correspondences)
     if n < config.min_matches:
         return {"total": 0.0, "num_matches": n, "inlier_ratio": 0.0,
@@ -73,25 +88,23 @@ def score_pair(correspondences: np.ndarray,
     corr = np.asarray(correspondences, np.float32)
     p1, p2 = corr[:, :2], corr[:, 2:]
 
-    import jax
-    import jax.numpy as jnp
-    from tpu3drec.ops.geometry import find_fundamental
-    # pad to a coarse capacity bucket: each distinct correspondence count
-    # would otherwise trace+compile its own F-RANSAC program (seconds per
-    # shape on the remote-compile TPU path)
-    cap = 512
-    while cap < n:
-        cap *= 4
-    p1p = np.zeros((cap, 2), np.float32)
-    p2p = np.zeros((cap, 2), np.float32)
-    p1p[:n], p2p[:n] = p1, p2
-    rr = find_fundamental(jnp.asarray(p1p), jnp.asarray(p2p),
-                          mask=jnp.asarray(np.arange(cap) < n),
-                          threshold=config.ransac_threshold,
-                          num_hypotheses=256,
-                          key=jax.random.PRNGKey(key_seed))
-    inlier_ratio = float(rr.inlier_ratio) if bool(rr.success) else 0.0
-    inl = np.asarray(rr.inliers)[:n]
+    if precomputed_geom is not None:
+        inlier_ratio, inl = precomputed_geom
+    else:
+        import jax
+        import jax.numpy as jnp
+        from tpu3drec.ops.geometry import find_fundamental
+        cap = _pair_cap(n)
+        p1p = np.zeros((cap, 2), np.float32)
+        p2p = np.zeros((cap, 2), np.float32)
+        p1p[:n], p2p[:n] = p1, p2
+        rr = find_fundamental(jnp.asarray(p1p), jnp.asarray(p2p),
+                              mask=jnp.asarray(np.arange(cap) < n),
+                              threshold=config.ransac_threshold,
+                              num_hypotheses=256,
+                              key=jax.random.PRNGKey(key_seed))
+        inlier_ratio = float(rr.inlier_ratio) if bool(rr.success) else 0.0
+        inl = np.asarray(rr.inliers)[:n]
 
     s_matches = min(n / config.target_matches, 1.0)
     s_dist = 0.5 * (_spatial_distribution_score(p1, image_size)
@@ -121,6 +134,15 @@ class InitializationPairSelector:
 
     def score_all_pairs(self, matches_data: Dict,
                         image_info: Optional[Dict] = None) -> Dict:
+        """All pairs' geometric-consistency F-RANSACs run as ONE vmapped
+        program per capacity bucket (a serial per-pair loop costs a
+        device dispatch each — ~6 s for a 21-pair folder through the
+        remote tunnel)."""
+        import jax
+        import jax.numpy as jnp
+        from tpu3drec.ops.geometry import find_fundamental
+
+        entries = []
         for i, (pair, pd) in enumerate(sorted(matches_data.items())):
             if "error" in pd:
                 continue
@@ -130,8 +152,39 @@ class InitializationPairSelector:
                 info = image_info[pair[0]]
                 size = (info.get("width", 640), info.get("height", 480))
             conf = pd.get("quality_score")
-            self.scores[pair] = score_pair(corr, size, self.config,
-                                           confidence=conf, key_seed=i)
+            entries.append((i, pair, corr, size, conf))
+
+        geom: Dict = {}
+        big = [e for e in entries if len(e[2]) >= self.config.min_matches]
+        by_cap: Dict[int, list] = {}
+        for e in big:
+            by_cap.setdefault(_pair_cap(len(e[2])), []).append(e)
+        thr = self.config.ransac_threshold
+        for cap, group in sorted(by_cap.items()):
+            P1 = np.zeros((len(group), cap, 2), np.float32)
+            P2 = np.zeros((len(group), cap, 2), np.float32)
+            M = np.zeros((len(group), cap), bool)
+            for g, (_, _, corr, _, _) in enumerate(group):
+                c = np.asarray(corr, np.float32)
+                P1[g, :len(c)] = c[:, :2]
+                P2[g, :len(c)] = c[:, 2:]
+                M[g, :len(c)] = True
+            keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.asarray([i for i, *_ in group], jnp.uint32))
+            rr = jax.vmap(lambda a, b, m, k: find_fundamental(
+                a, b, mask=m, threshold=thr, num_hypotheses=256, key=k)
+            )(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(M), keys)
+            ratios = np.asarray(rr.inlier_ratio)
+            succ = np.asarray(rr.success)
+            inls = np.asarray(rr.inliers)
+            for g, (i, pair, corr, size, conf) in enumerate(group):
+                geom[pair] = (float(ratios[g]) if bool(succ[g]) else 0.0,
+                              inls[g, :len(corr)])
+
+        for i, pair, corr, size, conf in entries:
+            self.scores[pair] = score_pair(
+                corr, size, self.config, confidence=conf, key_seed=i,
+                precomputed_geom=geom.get(pair))
         return self.scores
 
     def get_best_pair(self, matches_data: Dict,
