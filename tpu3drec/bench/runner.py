@@ -12,6 +12,13 @@ scale GT transforms, GT-verified quality, :499-717), combined ranking
 Memory profiling uses tracemalloc + psutil RSS like the reference
 (benchmarking.py:697-742) plus jax device memory stats where the backend
 exposes them.
+
+NB on TPU timing: the PERFORMANCE task times single pairs through the
+public API (reference parity), which on a remote-tunneled chip is
+dominated by per-call dispatch latency, not compute. The batched path
+(bench.py: vmapped pairs, 132 pairs/s on one v5e) is the throughput
+metric; this task's per-call latency is meaningful on locally attached
+hardware and for CPU comparisons.
 """
 
 from __future__ import annotations
