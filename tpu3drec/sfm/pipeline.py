@@ -110,6 +110,51 @@ def _min_dists(q: np.ndarray, ref: np.ndarray,
     return dist, idx
 
 
+_PPB_JIT = None   # single jitted instance so the trace cache persists
+
+
+def _progressive_pair_batch(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
+                            threshold_px: float, method: str, tri_cfg):
+    """One vmapped program for a group of (anchor, unprocessed) pairs:
+    essential RANSAC -> pose recovery -> two-view triangulation, fused so
+    the progressive-triangulation loop costs one device dispatch per
+    capacity bucket instead of three per pair."""
+    global _PPB_JIT
+    if _PPB_JIT is None:
+        import functools
+        import jax
+        from tpu3drec.ops.epipolar import find_essential, recover_pose
+        from tpu3drec.ops.triangulate import triangulate_two_view
+
+        @functools.partial(jax.jit,
+                           static_argnames=("threshold_px", "method",
+                                            "tri_cfg"))
+        def batch(P1, P2, K_a, K_bs, R_a, t_a, M, seeds, threshold_px,
+                  method, tri_cfg):
+            def one(p1, p2, K_b, mask, seed):
+                key = jax.random.PRNGKey(seed)
+                eres = find_essential(p1, p2, K_a, K_b, mask=mask,
+                                      threshold_px=threshold_px,
+                                      method=method, key=key)
+                R_rel, t_rel, _ = recover_pose(eres.E, p1, p2, K_a, K_b,
+                                               mask=eres.inliers)
+                R_b = R_rel @ R_a
+                t_b = R_rel @ t_a + t_rel  # unit-norm baseline (s = 1)
+                tri = triangulate_two_view(p1, p2, K_a, K_b, R_a, t_a,
+                                           R_b, t_b, mask=eres.inliers,
+                                           config=tri_cfg)
+                return {"points": tri.points, "tri_mask": tri.mask,
+                        "success": eres.success,
+                        "num_inliers": eres.num_inliers}
+
+            return jax.vmap(one)(P1, P2, K_bs, M, seeds)
+
+        _PPB_JIT = batch
+
+    return _PPB_JIT(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
+                    threshold_px, method, tri_cfg)
+
+
 class SfMPipeline:
     """MainPosePipeline equivalent (CPE/pipeline.py:218)."""
 
@@ -552,10 +597,12 @@ class SfMPipeline:
             target_depth = float(np.median(pos))
             obs_uv_a = (np.stack([uv for _, uv in obs_a])
                         if obs_a else np.zeros((0, 2)))
-            added_anchor = 0
+            # gather every eligible boot pair, then run the whole
+            # essential -> pose -> triangulate chain as ONE vmapped
+            # program per capacity bucket (the serial loop cost 3 device
+            # dispatches per pair through the remote tunnel)
+            cands = []
             for boot in unprocessed:
-                if added_anchor >= cfg.max_bootstrap_points_per_anchor:
-                    break
                 corr = lookup_pair(matches_data, anchor, boot)
                 if corr is None or len(corr) < 8:
                     continue
@@ -571,40 +618,57 @@ class SfMPipeline:
                 b_f = b_xy[fresh].astype(np.float32)
                 size_b = self._image_size(boot, image_info, b_f)
                 K_b = self.intrinsics.estimate(*size_b)
-                K_bj = jnp.asarray(K_b.astype(np.float32))
-                m = len(a_f)
-                cap = _bucket(m)
-                p1 = jnp.asarray(_pad2(a_f, cap))
-                p2 = jnp.asarray(_pad2(b_f, cap))
-                mask = jnp.asarray(np.arange(cap) < m)
-                # crc32, not hash(): python string hashes are salted
-                # per process and would make reconstructions
-                # non-deterministic across runs
-                eres = find_essential(
-                    p1, p2, K_a, K_bj, mask=mask,
-                    threshold_px=cfg.essential_threshold_px,
-                    method=cfg.essential_method,
-                    key=jax.random.PRNGKey(
-                        zlib.crc32(boot.encode()) & 0x7FFFFFFF))
-                if not bool(eres.success) or int(eres.num_inliers) < 15:
+                cands.append((boot, a_f, b_f, K_b))
+
+            results = {}
+            by_cap: Dict[int, list] = {}
+            for c in cands:
+                by_cap.setdefault(_bucket(len(c[1])), []).append(c)
+            R_aj = jnp.asarray(cam_a.R.astype(np.float32))
+            t_aj = jnp.asarray(cam_a.t.astype(np.float32))
+            for cap, group in sorted(by_cap.items()):
+                G = len(group)
+                P1 = np.zeros((G, cap, 2), np.float32)
+                P2 = np.zeros((G, cap, 2), np.float32)
+                M = np.zeros((G, cap), bool)
+                Kbs = np.zeros((G, 3, 3), np.float32)
+                seeds = []
+                for g, (boot, a_f, b_f, K_b) in enumerate(group):
+                    P1[g, :len(a_f)] = a_f
+                    P2[g, :len(b_f)] = b_f
+                    M[g, :len(a_f)] = True
+                    Kbs[g] = K_b
+                    # crc32, not hash(): python string hashes are salted
+                    # per process and would make reconstructions
+                    # non-deterministic across runs
+                    seeds.append(zlib.crc32(boot.encode()) & 0x7FFFFFFF)
+                out = _progressive_pair_batch(
+                    jnp.asarray(P1), jnp.asarray(P2), K_a,
+                    jnp.asarray(Kbs), R_aj, t_aj, jnp.asarray(M),
+                    jnp.asarray(np.asarray(seeds, np.uint32)),
+                    cfg.essential_threshold_px, cfg.essential_method,
+                    tri_cfg)
+                pts_g = np.asarray(out["points"], np.float64)
+                mask_g = np.asarray(out["tri_mask"])
+                ok_g = np.asarray(out["success"])
+                ninl_g = np.asarray(out["num_inliers"])
+                for g, (boot, a_f, b_f, K_b) in enumerate(group):
+                    results[boot] = (pts_g[g], mask_g[g], bool(ok_g[g]),
+                                     int(ninl_g[g]), a_f, b_f)
+
+            added_anchor = 0
+            for boot in unprocessed:
+                if added_anchor >= cfg.max_bootstrap_points_per_anchor:
+                    break
+                if boot not in results:
                     continue
-                R_rel, t_rel, _ = recover_pose(eres.E, p1, p2, K_a, K_bj,
-                                               mask=eres.inliers)
-                R_rel = np.asarray(R_rel, np.float64)
-                t_rel = np.asarray(t_rel, np.float64)
-                R_b = R_rel @ cam_a.R
-                t_b = R_rel @ cam_a.t + t_rel  # unit-norm baseline (s = 1)
-                tri = triangulate_two_view(
-                    p1, p2, K_a, K_bj,
-                    jnp.asarray(cam_a.R.astype(np.float32)),
-                    jnp.asarray(cam_a.t.astype(np.float32)),
-                    jnp.asarray(R_b.astype(np.float32)),
-                    jnp.asarray(t_b.astype(np.float32)),
-                    mask=eres.inliers, config=tri_cfg)
-                sel = np.where(np.asarray(tri.mask))[0]
+                pts_all_b, tri_mask, ok, ninl, a_f, b_f = results[boot]
+                if not ok or ninl < 15:
+                    continue
+                sel = np.where(tri_mask)[0]
                 if len(sel) == 0:
                     continue
-                pts = np.asarray(tri.points, np.float64)[sel]
+                pts = pts_all_b[sel]
                 # resolve scale about the anchor center
                 depths = (cam_a.R @ pts.T + cam_a.t[:, None])[2]
                 med = float(np.median(depths))
