@@ -160,26 +160,33 @@ class InitializationPairSelector:
         for e in big:
             by_cap.setdefault(_pair_cap(len(e[2])), []).append(e)
         thr = self.config.ransac_threshold
+        # fixed-size group chunks (dummy rows: mask all-False) so every
+        # folder size reuses ONE traced program per capacity bucket
+        CHUNK = 8
         for cap, group in sorted(by_cap.items()):
-            P1 = np.zeros((len(group), cap, 2), np.float32)
-            P2 = np.zeros((len(group), cap, 2), np.float32)
-            M = np.zeros((len(group), cap), bool)
-            for g, (_, _, corr, _, _) in enumerate(group):
-                c = np.asarray(corr, np.float32)
-                P1[g, :len(c)] = c[:, :2]
-                P2[g, :len(c)] = c[:, 2:]
-                M[g, :len(c)] = True
-            keys = jax.vmap(jax.random.PRNGKey)(
-                jnp.asarray([i for i, *_ in group], jnp.uint32))
-            rr = jax.vmap(lambda a, b, m, k: find_fundamental(
-                a, b, mask=m, threshold=thr, num_hypotheses=256, key=k)
-            )(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(M), keys)
-            ratios = np.asarray(rr.inlier_ratio)
-            succ = np.asarray(rr.success)
-            inls = np.asarray(rr.inliers)
-            for g, (i, pair, corr, size, conf) in enumerate(group):
-                geom[pair] = (float(ratios[g]) if bool(succ[g]) else 0.0,
-                              inls[g, :len(corr)])
+            for s in range(0, len(group), CHUNK):
+                part = group[s:s + CHUNK]
+                P1 = np.zeros((CHUNK, cap, 2), np.float32)
+                P2 = np.zeros((CHUNK, cap, 2), np.float32)
+                M = np.zeros((CHUNK, cap), bool)
+                seeds = np.zeros(CHUNK, np.uint32)
+                for g, (i, _, corr, _, _) in enumerate(part):
+                    c = np.asarray(corr, np.float32)
+                    P1[g, :len(c)] = c[:, :2]
+                    P2[g, :len(c)] = c[:, 2:]
+                    M[g, :len(c)] = True
+                    seeds[g] = i
+                keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+                rr = jax.vmap(lambda a, b, m, k: find_fundamental(
+                    a, b, mask=m, threshold=thr, num_hypotheses=256,
+                    key=k)
+                )(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(M), keys)
+                ratios = np.asarray(rr.inlier_ratio)
+                succ = np.asarray(rr.success)
+                inls = np.asarray(rr.inliers)
+                for g, (i, pair, corr, size, conf) in enumerate(part):
+                    geom[pair] = (float(ratios[g]) if bool(succ[g])
+                                  else 0.0, inls[g, :len(corr)])
 
         for i, pair, corr, size, conf in entries:
             self.scores[pair] = score_pair(

@@ -626,35 +626,43 @@ class SfMPipeline:
                 by_cap.setdefault(_bucket(len(c[1])), []).append(c)
             R_aj = jnp.asarray(cam_a.R.astype(np.float32))
             t_aj = jnp.asarray(cam_a.t.astype(np.float32))
+            # the group axis runs in FIXED-size chunks (dummy rows have
+            # mask all-False and are sliced away): one traced program per
+            # correspondence-capacity bucket, regardless of how many
+            # boot pairs a folder produces
+            CHUNK = 4
             for cap, group in sorted(by_cap.items()):
-                G = len(group)
-                P1 = np.zeros((G, cap, 2), np.float32)
-                P2 = np.zeros((G, cap, 2), np.float32)
-                M = np.zeros((G, cap), bool)
-                Kbs = np.zeros((G, 3, 3), np.float32)
-                seeds = []
-                for g, (boot, a_f, b_f, K_b) in enumerate(group):
-                    P1[g, :len(a_f)] = a_f
-                    P2[g, :len(b_f)] = b_f
-                    M[g, :len(a_f)] = True
-                    Kbs[g] = K_b
-                    # crc32, not hash(): python string hashes are salted
-                    # per process and would make reconstructions
-                    # non-deterministic across runs
-                    seeds.append(zlib.crc32(boot.encode()) & 0x7FFFFFFF)
-                out = _progressive_pair_batch(
-                    jnp.asarray(P1), jnp.asarray(P2), K_a,
-                    jnp.asarray(Kbs), R_aj, t_aj, jnp.asarray(M),
-                    jnp.asarray(np.asarray(seeds, np.uint32)),
-                    cfg.essential_threshold_px, cfg.essential_method,
-                    tri_cfg)
-                pts_g = np.asarray(out["points"], np.float64)
-                mask_g = np.asarray(out["tri_mask"])
-                ok_g = np.asarray(out["success"])
-                ninl_g = np.asarray(out["num_inliers"])
-                for g, (boot, a_f, b_f, K_b) in enumerate(group):
-                    results[boot] = (pts_g[g], mask_g[g], bool(ok_g[g]),
-                                     int(ninl_g[g]), a_f, b_f)
+                for s in range(0, len(group), CHUNK):
+                    part = group[s:s + CHUNK]
+                    P1 = np.zeros((CHUNK, cap, 2), np.float32)
+                    P2 = np.zeros((CHUNK, cap, 2), np.float32)
+                    M = np.zeros((CHUNK, cap), bool)
+                    Kbs = np.tile(np.eye(3, dtype=np.float32),
+                                  (CHUNK, 1, 1))
+                    seeds = [0] * CHUNK
+                    for g, (boot, a_f, b_f, K_b) in enumerate(part):
+                        P1[g, :len(a_f)] = a_f
+                        P2[g, :len(b_f)] = b_f
+                        M[g, :len(a_f)] = True
+                        Kbs[g] = K_b
+                        # crc32, not hash(): python string hashes are
+                        # salted per process and would make
+                        # reconstructions non-deterministic across runs
+                        seeds[g] = zlib.crc32(boot.encode()) & 0x7FFFFFFF
+                    out = _progressive_pair_batch(
+                        jnp.asarray(P1), jnp.asarray(P2), K_a,
+                        jnp.asarray(Kbs), R_aj, t_aj, jnp.asarray(M),
+                        jnp.asarray(np.asarray(seeds, np.uint32)),
+                        cfg.essential_threshold_px, cfg.essential_method,
+                        tri_cfg)
+                    pts_g = np.asarray(out["points"], np.float64)
+                    mask_g = np.asarray(out["tri_mask"])
+                    ok_g = np.asarray(out["success"])
+                    ninl_g = np.asarray(out["num_inliers"])
+                    for g, (boot, a_f, b_f, K_b) in enumerate(part):
+                        results[boot] = (pts_g[g], mask_g[g],
+                                         bool(ok_g[g]), int(ninl_g[g]),
+                                         a_f, b_f)
 
             added_anchor = 0
             for boot in unprocessed:
