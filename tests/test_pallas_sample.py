@@ -108,3 +108,34 @@ def test_integrated_pallas_sampler_agrees_with_xla(test_image):
         np.linalg.norm(dx_, axis=1) * np.linalg.norm(dp_, axis=1), 1e-9)
     assert np.median(cos) > 0.97, float(np.median(cos))
     assert (cos > 0.8).mean() > 0.9, float((cos > 0.8).mean())
+
+
+def test_prep_meta_contract_12_bytes_per_keypoint():
+    """SMEM budget contract: meta is [lv, xy_pack] int32 + scale f32 =
+    12 B/keypoint (batch 64 x 1280 candidates must fit the 1 MB scalar-
+    prefetch budget), and the fixed-point pack round-trips to 1/64 px."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    K = 64
+    xs = rng.uniform(0, 1023, K).astype(np.float32)
+    ys = rng.uniform(0, 1023, K).astype(np.float32)
+    layer = rng.integers(1, 6, K).astype(np.int32)
+    scl = rng.uniform(1.5, 4.0, K).astype(np.float32)
+    keep = rng.random(K) > 0.3
+    imeta, fmeta, dims = prep_meta(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(layer),
+        jnp.asarray(scl), jnp.asarray(keep), 480, 768, 480, 640)
+    assert imeta.shape == (K, 2) and imeta.dtype == jnp.int32
+    assert fmeta.shape == (K,) and fmeta.dtype == jnp.float32
+    assert dims.shape == (2,)
+    im = np.asarray(imeta)
+    # lv sentinel: layer+1 when kept, 0 otherwise
+    np.testing.assert_array_equal(im[:, 0],
+                                  np.where(keep, layer + 1, 0))
+    # fixed-point unpack (kernel's arithmetic) recovers x, y to 1/128 px
+    xq = im[:, 1] & 0xFFFF
+    yq = (im[:, 1] >> 16) & 0xFFFF
+    np.testing.assert_allclose(xq / 64.0, xs, atol=1 / 128 + 1e-6)
+    np.testing.assert_allclose(yq / 64.0, ys, atol=1 / 128 + 1e-6)
