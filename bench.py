@@ -215,7 +215,7 @@ def bench_deep():
     from tpu3drec.models.superpoint import SuperPoint
     from tpu3drec.models.lightglue import LightGlue
 
-    B = int(os.environ.get("BENCH_DEEP_BATCH", "8"))
+    B = int(os.environ.get("BENCH_DEEP_BATCH", "32"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
     N, H, W = 1024, 480, 640
     sp = SuperPoint(max_features=N)
