@@ -124,9 +124,12 @@ def test_compare_meshes_and_visualize(tmp_path, sphere):
     cmp = compare_meshes(m["verts"], m["faces"], m["verts"], m["faces"])
     assert cmp["vertex_count"]["ratio"] == 1.0
     assert abs(cmp["surface_area"]["ratio"] - 1.0) < 1e-9
-    # a closed sphere mesh has volume ~ 4/3 pi
+    # a closed sphere mesh has |volume| ~ 4/3 pi; the signed value flips
+    # with face orientation (ADVICE r2: inverted meshes must be visible)
     vol = mesh_volume(m["verts"], m["faces"])
-    assert abs(vol - 4.0 / 3.0 * np.pi) / (4.0 / 3.0 * np.pi) < 0.1
+    assert abs(abs(vol) - 4.0 / 3.0 * np.pi) / (4.0 / 3.0 * np.pi) < 0.1
+    flipped = np.asarray(m["faces"])[:, ::-1]
+    assert np.isclose(mesh_volume(m["verts"], flipped), -vol)
     out = viz.visualize_mesh(m["verts"], m["faces"],
                              save_to=tmp_path / "mesh_viz.png")
     assert out is not None and (tmp_path / "mesh_viz.png").exists()

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from tpu3drec.ops.pallas_sample import (
-    oracle_ori_desc, ori_desc_windows, prep_meta, pad_dims,
+    frac_bits, oracle_ori_desc, ori_desc_windows, prep_meta, pad_dims,
 )
 from tpu3drec.ops.sift import detect_and_compute
 
@@ -139,3 +139,75 @@ def test_prep_meta_contract_12_bytes_per_keypoint():
     yq = (im[:, 1] >> 16) & 0xFFFF
     np.testing.assert_allclose(xq / 64.0, xs, atol=1 / 128 + 1e-6)
     np.testing.assert_allclose(yq / 64.0, ys, atol=1 / 128 + 1e-6)
+
+
+def test_frac_bits_per_shape_bucket():
+    """fb shrinks with the stack so 16-bit coords never saturate
+    (ADVICE r2: fixed fb=6 clipped x=1500 to 1023.98 on >1024-px images)."""
+    assert frac_bits(480, 768) == 6
+    assert frac_bits(1024, 1024) == 6
+    assert frac_bits(1080, 1920) == 5
+    assert frac_bits(2048, 2048) == 5
+    assert frac_bits(2160, 3840) == 4
+    assert frac_bits(4320, 7680) == 3
+    with pytest.raises(ValueError):
+        frac_bits(8, 40000)
+
+
+def test_prep_meta_large_image_round_trip():
+    """The advisor's failure case: x=1500 on a 2048-wide stack must
+    round-trip (was saturating at 1023.98 px with fixed fb=6)."""
+    hp, wp = 1088, 2048
+    fb = frac_bits(hp, wp)
+    xs = np.array([1500.0, 37.25, 2040.5], np.float32)
+    ys = np.array([1060.75, 3.0, 512.5], np.float32)
+    imeta, _, _ = prep_meta(
+        jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray([1, 1, 1], np.int32), jnp.ones(3, np.float32),
+        jnp.asarray([True] * 3), hp, wp, 1080, 2040)
+    im = np.asarray(imeta)
+    xq = im[:, 1] & 0xFFFF
+    yq = (im[:, 1] >> 16) & 0xFFFF
+    q = 1.0 / (1 << fb)
+    np.testing.assert_allclose(xq * q, xs, atol=q / 2 + 1e-6)
+    np.testing.assert_allclose(yq * q, ys, atol=q / 2 + 1e-6)
+
+
+def test_kernel_matches_oracle_beyond_1024px():
+    """Kernel parity on a 2048-wide stack with keypoints past 1024 px
+    (fb=5 bucket): the kernel and the oracle agree when the oracle is fed
+    the dequantized coordinates the kernel actually sees."""
+    S, H, W = 2, 160, 2000
+    dx, dy, Hp, Wp = _grad_stacks(S, H, W, seed=7)
+    fb = frac_bits(Hp, Wp)
+    assert fb == 5
+    dxb = np.asarray(jnp.asarray(dx, jnp.bfloat16).astype(jnp.float32))
+    dyb = np.asarray(jnp.asarray(dy, jnp.bfloat16).astype(jnp.float32))
+
+    xs = np.array([1500.37, 1980.12, 700.81], np.float32)
+    ys = np.array([80.22, 100.61, 60.44], np.float32)
+    layer = np.array([1, 1, 1], np.int32)
+    scl = np.array([2.0, 3.1, 1.7], np.float32)
+    keep = np.ones(3, bool)
+
+    imeta, fmeta, dims = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
+                                   jnp.asarray(layer), jnp.asarray(scl),
+                                   jnp.asarray(keep), Hp, Wp, H, W)
+    angle, desc = jax.jit(ori_desc_windows)(
+        jnp.asarray(dx, jnp.bfloat16), jnp.asarray(dy, jnp.bfloat16),
+        imeta, fmeta, dims)
+    angle, desc = np.asarray(angle), np.asarray(desc)
+
+    im = np.asarray(imeta)
+    q = 1.0 / (1 << fb)
+    for k in range(3):
+        x_deq = (im[k, 1] & 0xFFFF) * q
+        y_deq = ((im[k, 1] >> 16) & 0xFFFF) * q
+        a_ref, d_ref = oracle_ori_desc(dxb[layer[k]], dyb[layer[k]],
+                                       x_deq, y_deq, scl[k], hp=Hp)
+        da = abs(a_ref - angle[k])
+        da = min(da, 2 * np.pi - da)
+        cos = desc[k] @ d_ref / max(
+            np.linalg.norm(desc[k]) * np.linalg.norm(d_ref), 1e-9)
+        assert da < 1e-3, (k, da)
+        assert cos > 0.9999, (k, cos)

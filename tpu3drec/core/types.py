@@ -267,6 +267,10 @@ class MethodResult:
     reprojection_error: Optional[float] = None
     detection_time: float = 0.0
     matching_time: float = 0.0
+    # matcher actually executed (e.g. "knn", "lightglue",
+    # "knn (lightglue fallback: ...)") — the configured matcher can
+    # silently degrade (no converted weights), so record the truth here
+    matcher_used: str = ""
 
     @property
     def best_matches(self) -> Matches:

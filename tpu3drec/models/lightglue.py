@@ -34,6 +34,7 @@ mirror of the published blocks with shared random weights).
 from __future__ import annotations
 
 import functools
+from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
@@ -322,26 +323,45 @@ def match_features_lightglue(feats0: Features, feats1: Features,
     from tpu3drec.models import WEIGHTS_DIR, weights_available
     input_dim = feats0.desc.shape[1]
     if input_dim not in _LG_CACHE:
-        lg = LightGlue(input_dim=input_dim)
         if weights_available("lightglue"):
             data = np.load(WEIGHTS_DIR / "lightglue.npz", allow_pickle=True)
-            lg.params = jax.tree.map(jnp.asarray, data["params"].item())
+            if "meta" in data:
+                dim, n_layers, heads = (int(v) for v in data["meta"][:3])
+            else:
+                dim, n_layers, heads = 256, 9, 4
+            lg = LightGlue(input_dim=input_dim, dim=dim,
+                           n_layers=n_layers, heads=heads)
+            inner = jax.tree.map(jnp.asarray, data["params"].item())
+            # the npz stores the bare param tree; flax apply() wants the
+            # {"params": ...} variables dict (tests/test_lightglue_dropin)
+            lg.params = {"params": inner}
         else:
             raise ImportError("lightglue weights not available")
         _LG_CACHE[input_dim] = lg
     return _LG_CACHE[input_dim].match(feats0, feats1, filter_threshold)
 
 
-def convert_torch_checkpoint(path_in, path_out=None) -> Dict:
-    """CLI helper: torch .pth -> converted npz in the weights dir."""
+def convert_torch_checkpoint(path_in, path_out=None, heads: int = 4) -> Dict:
+    """CLI helper: torch .pth -> converted npz in the weights dir.
+
+    The net config (dim / n_layers) is derived from the state dict and
+    stored as `meta` alongside the params so match_features_lightglue
+    rebuilds the right architecture (heads can't be derived from weight
+    shapes — pass it for non-default checkpoints; published ones use 4)."""
     import torch
     from tpu3drec.models import WEIGHTS_DIR
     sd = torch.load(path_in, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    params = load_torch_weights({k: v.numpy() for k, v in sd.items()})
+    sd = {k[8:] if k.startswith("matcher.") else k: v.numpy()
+          for k, v in sd.items()}
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("transformers."))
+    dim = int(np.asarray(sd["input_proj.weight"]).shape[0])
+    params = load_torch_weights(sd, n_layers=n_layers)
     out = path_out or (WEIGHTS_DIR / "lightglue.npz")
-    WEIGHTS_DIR.mkdir(parents=True, exist_ok=True)
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
     np.savez(out, params=np.asarray(
-        jax.tree.map(np.asarray, params["params"]), dtype=object))
+        jax.tree.map(np.asarray, params["params"]), dtype=object),
+        meta=np.asarray([dim, n_layers, heads], np.int32))
     return params

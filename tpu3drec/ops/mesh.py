@@ -255,14 +255,17 @@ def create_mesh_alpha_shape(points: np.ndarray, alpha: float = 0.03,
 
 
 def mesh_volume(verts: np.ndarray, faces: np.ndarray) -> float:
-    """Signed volume via the divergence theorem (sum of signed
-    tetrahedra to the origin); meaningful for closed oriented meshes."""
+    """SIGNED volume via the divergence theorem (sum of signed
+    tetrahedra to the origin); meaningful for closed oriented meshes.
+    Negative for inward-oriented (flipped) meshes — callers wanting the
+    enclosed volume take abs(); compare_meshes does (so an
+    inverted-orientation mesh is detectable here, unlike in the ratio)."""
     v = np.asarray(verts, np.float64)
     f = np.asarray(faces)
     if len(f) == 0:
         return 0.0
     a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
-    return float(abs(np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0))
+    return float(np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0)
 
 
 def compare_meshes(verts1: np.ndarray, faces1: np.ndarray,
@@ -274,8 +277,8 @@ def compare_meshes(verts1: np.ndarray, faces1: np.ndarray,
         return {"error": "One or both meshes are None"}
     q1 = mesh_quality(verts1, faces1)
     q2 = mesh_quality(verts2, faces2)
-    vol1 = mesh_volume(verts1, faces1) if q1.get("is_watertight") else 0.0
-    vol2 = mesh_volume(verts2, faces2) if q2.get("is_watertight") else 0.0
+    vol1 = abs(mesh_volume(verts1, faces1)) if q1.get("is_watertight") else 0.0
+    vol2 = abs(mesh_volume(verts2, faces2)) if q2.get("is_watertight") else 0.0
     e1 = (np.asarray(verts1).max(0) - np.asarray(verts1).min(0)
           if len(verts1) else np.zeros(3))
     e2 = (np.asarray(verts2).max(0) - np.asarray(verts2).min(0)

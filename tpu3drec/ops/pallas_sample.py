@@ -41,6 +41,7 @@ become the dense pixel formulation with 4x4 box prefilter.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -206,22 +207,38 @@ _STAGES = "all"  # trace-time knob for perf bisection: all|ori|desc|dma
 _DMA_MODE = "dyn"  # dyn | static (fixed origin) | none (skip DMA)
 
 
-def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
+def frac_bits(hp: int, wp: int) -> int:
+    """Static fixed-point fraction bits for the 16-bit (x, y) meta pack:
+    the largest fb <= 6 with 2**(16-fb) >= max(hp, wp), so every coord in
+    the padded stack fits losslessly (ADVICE r2: a fixed fb=6 silently
+    saturated coords at 1023.98 px on >1024-px images). Resolution stays
+    >= 1/2 px up to 32K-px images — far below the detector's ~0.1 px
+    subpixel accuracy for any realistic size."""
+    m = max(hp, wp)
+    if m > 32768:
+        raise ValueError(f"image dim {m} exceeds the 16-bit meta pack")
+    return max(1, min(6, 16 - (m - 1).bit_length()))
+
+
+def _ori_desc_kernel(fb, imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
                      angle_ref, desc_ref, win_ref, sem_ref):
     # meta arrays ride flattened (2-D SMEM operands are padded to 128
     # lanes per row) and SLIM: [lv, xy_pack] int32 + scale f32 = 12 B per
     # keypoint, so a 64-image x 1280-candidate batch costs ~983 KB of the
     # 1 MB SMEM budget (which counts ALL prefetch operands together).
     # Window origins are re-derived in-kernel from the fixed-point (x, y)
-    # — scalar ALU is free next to the DMA it gates.
+    # — scalar ALU is free next to the DMA it gates. `fb` is the static
+    # per-shape-bucket fraction-bit count (frac_bits).
     k = pl.program_id(0)
     nk = pl.num_programs(0)
     _, hp, wp = dxs_ref.shape
+    half = 1 << (fb - 1)
+    inv_scale = 1.0 / (1 << fb)
     valid = imeta_ref[2 * k + 0]   # lv sentinel: layer+1 if valid else 0
     slot = jax.lax.rem(k, 2)
 
     def _coords(j):
-        """(xq, yq) 1/64-px fixed-point coords of keypoint j."""
+        """(xq, yq) 1/2**fb-px fixed-point coords of keypoint j."""
         pack = imeta_ref[2 * j + 1]
         xq = pack & 0xFFFF
         yq = (pack >> 16) & 0xFFFF
@@ -230,8 +247,8 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
     def _origin(j):
         """8/128-aligned window origin for keypoint j (prep_meta math)."""
         xq, yq = _coords(j)
-        rxi_j = (xq + 32) >> 6     # round(x)
-        ryi_j = (yq + 32) >> 6
+        rxi_j = (xq + half) >> fb     # round(x)
+        ryi_j = (yq + half) >> fb
         x0j = pl.multiple_of(
             jnp.clip(((rxi_j - 64) // 128) * 128, 0, wp - WIN_W), 128)
         y0j = pl.multiple_of(
@@ -262,7 +279,12 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
             for cp in _dma_pair(k, slot):
                 cp.start()
 
-        @pl.when((k + 1 < nk) & (imeta_ref[2 * (k + 1)] > 0))
+        # clamp the lookahead: traced `&` has no short-circuit, so the
+        # SMEM read in the condition must be in-bounds even when
+        # k + 1 == nk (ADVICE r2); pl.when still gates the semantics
+        look = jnp.minimum(2 * (k + 1), 2 * nk - 2)
+
+        @pl.when((k + 1 < nk) & (imeta_ref[look] > 0))
         def _():
             for cp in _dma_pair(k + 1, jax.lax.rem(k + 1, 2)):
                 cp.start()
@@ -274,8 +296,8 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
     def _():
         x0, y0 = _origin(k)
         xq, yq = _coords(k)
-        x = xq.astype(jnp.float32) * (1.0 / 64.0)
-        y = yq.astype(jnp.float32) * (1.0 / 64.0)
+        x = xq.astype(jnp.float32) * inv_scale
+        y = yq.astype(jnp.float32) * inv_scale
         scl = fmeta_ref[k]
         w_real = dims_ref[0]
         h_real = dims_ref[1]
@@ -286,8 +308,8 @@ def _ori_desc_kernel(imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
 
         # same fixed-point rounding as _origin (jnp.round's half-even
         # could disagree by 1 at exact half-pixels)
-        rxi_i = (xq + 32) >> 6
-        ryi_i = (yq + 32) >> 6
+        rxi_i = (xq + half) >> fb
+        ryi_i = (yq + half) >> fb
         rxi = rxi_i.astype(jnp.float32)
         ryi = ryi_i.astype(jnp.float32)
         # keypoint offset inside the DMA window
@@ -480,11 +502,12 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
     dxs, dys: (S, Hp, Wp) bf16 gradient stacks; Hp % 8 == 0, Hp >= WIN_H,
     Wp % 128 == 0, Wp >= WIN_W (zero-padded beyond the real image).
     imeta: (K, 2) int32 [lv, xy_pack]: lv = layer+1 (0 = invalid slot);
-           xy_pack = round(64 x) | (round(64 y) << 16) — 1/64-px
-           fixed point (0.016 px quantization, far below the detector's
-           ~0.1 px subpixel accuracy). Aligned window origins are
-           re-derived in-kernel. 12 B per keypoint total, so batch 64 at
-           1280 candidates fits the 1 MB SMEM prefetch budget.
+           xy_pack = round(x * 2**fb) | (round(y * 2**fb) << 16) with
+           fb = frac_bits(Hp, Wp) — static per shape bucket, 1/64 px up
+           to 1024-px stacks, coarser (still >= 1/2 px) above so big
+           images never saturate the 16-bit fields. Aligned window
+           origins are re-derived in-kernel. 12 B per keypoint total, so
+           batch 64 at 1280 candidates fits the 1 MB SMEM budget.
     fmeta: (K,) f32 scale.
     dims:  (2,) f32 [w_real, h_real] — shared by every keypoint.
     Returns (angle (K,), desc (K, 128)) f32; descriptors are normalized
@@ -515,8 +538,9 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    _, hp_s, wp_s = dxs.shape
     angle, raw = pl.pallas_call(
-        _ori_desc_kernel,
+        functools.partial(_ori_desc_kernel, frac_bits(hp_s, wp_s)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((K, 1, 128), jnp.float32),
@@ -575,9 +599,11 @@ def prep_meta(xs, ys, ls_layer, scl, keep, hp: int, wp: int,
     """Slim meta arrays for ori_desc_windows (12 B/keypoint). Window
     origins are derived in-kernel (keypoint lane offset in [64, 192) /
     row offset in [44, 52) when unclipped); hp/wp come from the
-    gradient-stack shape; (x, y) ride as 1/64-px fixed point."""
-    xq = jnp.clip(jnp.round(xs * 64.0), 0, 65535).astype(jnp.int32)
-    yq = jnp.clip(jnp.round(ys * 64.0), 0, 65535).astype(jnp.int32)
+    gradient-stack shape; (x, y) ride as 1/2**frac_bits(hp, wp)-px fixed
+    point (the kernel derives the same fb from the static stack shape)."""
+    scale = float(1 << frac_bits(hp, wp))
+    xq = jnp.clip(jnp.round(xs * scale), 0, 65535).astype(jnp.int32)
+    yq = jnp.clip(jnp.round(ys * scale), 0, 65535).astype(jnp.int32)
     pack = xq | (yq << 16)
     lv = jnp.where(keep, ls_layer.astype(jnp.int32) + 1, 0)
     imeta = jnp.stack([lv, pack], axis=1)

@@ -64,7 +64,10 @@ def tp_knn2(desc1: jnp.ndarray, desc2_shard: jnp.ndarray,
     j1 = jnp.argmin(all_val, axis=1)
     g1 = jnp.take_along_axis(all_val, j1[:, None], axis=1)[:, 0]
     gi1 = jnp.take_along_axis(all_idx, j1[:, None], axis=1)[:, 0]
-    masked2 = all_val.at[jnp.arange(all_val.shape[0]), j1].set(_INF)
+    # iota compare-mask, not .at[rows, j1].set: scatter lowers to a
+    # full-matrix rewrite on TPU (ops/match.py:_top2_min)
+    cols = lax.broadcasted_iota(jnp.int32, all_val.shape, 1)
+    masked2 = jnp.where(cols == j1[:, None], _INF, all_val)
     j2 = jnp.argmin(masked2, axis=1)
     g2 = jnp.take_along_axis(masked2, j2[:, None], axis=1)[:, 0]
     gi2 = jnp.take_along_axis(all_idx, j2[:, None], axis=1)[:, 0]
@@ -82,8 +85,10 @@ def ring_knn2(desc1_shard: jnp.ndarray, desc2_shard: jnp.ndarray,
     `lax.ppermute` (one hop per step, tp steps total). Each step scores
     one (N/tp, M/tp) block and folds it into a running top-2, so peak
     memory is one block instead of the (N, M) matrix and communication
-    is O(M * D) total per rank, all on ICI neighbour links. Exact —
-    bitwise the same winners as a single-device 2-NN.
+    is O(M * D) total per rank, all on ICI neighbour links. Exact up to
+    tie-breaking: the same winning *distances* as a single-device 2-NN;
+    when two candidates are at exactly equal distance the index chosen
+    depends on fold order (single-device argmin picks the lowest index).
 
     Call inside shard_map with desc1/desc2 sharded along `axis_name`.
     Returns (idx (N/tp, 2) GLOBAL desc2 ids, dist (N/tp, 2)).
@@ -95,23 +100,27 @@ def ring_knn2(desc1_shard: jnp.ndarray, desc2_shard: jnp.ndarray,
     perm = [(i, (i + 1) % tp) for i in range(tp)]
 
     def fold(best_val, best_idx, dist, owner):
-        # merge one block's top-2 into the running top-2
+        # merge one block's top-2 into the running top-2; iota
+        # compare-masks instead of .at[rows, i].set scatters (which
+        # rewrite the whole matrix on TPU — ops/match.py:_top2_min)
         i1 = jnp.argmin(dist, axis=1)
-        v1 = jnp.take_along_axis(dist, i1[:, None], axis=1)[:, 0]
-        masked = dist.at[jnp.arange(n_local), i1].set(_INF)
+        v1 = jnp.min(dist, axis=1)
+        cols = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        masked = jnp.where(cols == i1[:, None], _INF, dist)
         i2 = jnp.argmin(masked, axis=1)
-        v2 = jnp.take_along_axis(masked, i2[:, None], axis=1)[:, 0]
+        v2 = jnp.min(masked, axis=1)
         cand_val = jnp.concatenate(
             [best_val, jnp.stack([v1, v2], axis=1)], axis=1)   # (N, 4)
         cand_idx = jnp.concatenate(
             [best_idx, jnp.stack([i1, i2], axis=1) + owner * m_local],
             axis=1)
         j1 = jnp.argmin(cand_val, axis=1)
-        g1 = jnp.take_along_axis(cand_val, j1[:, None], axis=1)[:, 0]
+        g1 = jnp.min(cand_val, axis=1)
         gi1 = jnp.take_along_axis(cand_idx, j1[:, None], axis=1)[:, 0]
-        masked2 = cand_val.at[jnp.arange(n_local), j1].set(_INF)
+        cols4 = lax.broadcasted_iota(jnp.int32, cand_val.shape, 1)
+        masked2 = jnp.where(cols4 == j1[:, None], _INF, cand_val)
         j2 = jnp.argmin(masked2, axis=1)
-        g2 = jnp.take_along_axis(masked2, j2[:, None], axis=1)[:, 0]
+        g2 = jnp.min(masked2, axis=1)
         gi2 = jnp.take_along_axis(cand_idx, j2[:, None], axis=1)[:, 0]
         return (jnp.stack([g1, g2], axis=1).astype(jnp.float32),
                 jnp.stack([gi1, gi2], axis=1))

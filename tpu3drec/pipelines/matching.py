@@ -95,7 +95,11 @@ class FeatureProcessingPipeline:
                 t0 = time.perf_counter()
                 f1 = self._detect(image1, method, image1_name or None)
                 f2 = self._detect(image2, method, image2_name or None)
-                f1.desc.block_until_ready()
+                # host-materialize a SMALL output instead of
+                # block_until_ready (a no-op on the axon backend —
+                # CLAUDE.md; bench.py:268-272 pattern), so
+                # detection_time/matching_time are real on the TPU
+                np.asarray(f1.mask), np.asarray(f2.mask)
                 t1 = time.perf_counter()
 
                 matcher = (self.config.get("matcher_config") or {}).get(
@@ -103,35 +107,40 @@ class FeatureProcessingPipeline:
                 mp = dict(MATCHER_SPECIFIC_CONFIGS.get(matcher, {}))
                 mp.update((self.config.get("matcher_params") or {}).get(
                     method, {}))
+                matcher_used = matcher
                 if matcher == "lightglue":
                     # end-to-end LightGlue attention matching when the
                     # converted weights exist (feature_matchers.py:434-540);
-                    # registry falls back to kNN otherwise
+                    # registry falls back to kNN otherwise — and RECORDS
+                    # the fallback so users can tell which matcher ran
                     from tpu3drec.models.lightglue import (
                         match_features_lightglue)
                     try:
                         m = match_features_lightglue(
                             f1, f2, filter_threshold=mp.get(
                                 "filter_threshold", 0.1))
-                    except ImportError:
+                    except ImportError as fe:
                         m = match_features(
                             f1, f2,
                             ratio=mp.get("ratio_threshold", 0.75),
                             cross_check=mp.get("cross_check", False),
                             method=method)
+                        matcher_used = f"knn (lightglue fallback: {fe})"
                 else:
                     if matcher == "auto":
                         matcher = auto_select_matcher(f1)
+                        matcher_used = matcher
                     m = match_features(
                         f1, f2, ratio=mp.get("ratio_threshold", 0.75),
                         cross_check=mp.get("cross_check", False),
                         method=method)
-                m.mask.block_until_ready()
+                np.asarray(m.mask)
                 t2 = time.perf_counter()
 
                 result = MethodResult(
                     method=method, features1=f1, features2=f2, matches=m,
-                    detection_time=t1 - t0, matching_time=t2 - t1)
+                    detection_time=t1 - t0, matching_time=t2 - t1,
+                    matcher_used=matcher_used)
 
                 if use_filter:
                     p1, p2 = m.gather_points(f1, f2)
@@ -287,7 +296,8 @@ class FeatureProcessingPipeline:
                 method=method,
                 features1=per_image[n1], features2=per_image[n2],
                 matches=m,
-                detection_time=det_share, matching_time=match_share)
+                detection_time=det_share, matching_time=match_share,
+                matcher_used=f"knn-batched[{metric}]")
             if bool(success[b]):
                 if use_filter:
                     mr.filtered_matches = m.replace(mask=inl[b])

@@ -68,20 +68,33 @@ class MatchServer:
     """Serving wrapper: owns the lock, the canonical shape, and stats."""
 
     def __init__(self, shape: Tuple[int, int] = DEFAULT_SHAPE,
-                 max_features: int = 1024):
+                 max_features: int = 1024,
+                 max_body_bytes: int = 64 << 20):
         self.shape = tuple(shape)
         self.max_features = max_features
-        self.lock = threading.Lock()
+        self.max_body_bytes = max_body_bytes
+        self.lock = threading.Lock()          # TPU compute stream
+        self.stats_lock = threading.Lock()    # shared stats/compiled flag
         self.stats = {"requests": 0, "errors": 0, "total_s": 0.0}
         self.compiled = False
+
+    def _count(self, key: str, dt: float = 0.0) -> None:
+        """Thread-safe stats update (handler threads are concurrent)."""
+        with self.stats_lock:
+            self.stats[key] += 1
+            self.stats["total_s"] += dt
+            if key == "requests":
+                self.compiled = True
 
     # -- handlers ------------------------------------------------------
 
     def health(self) -> Dict:
         import jax
+        with self.stats_lock:
+            compiled, stats = self.compiled, dict(self.stats)
         return {"status": "ok", "backend": jax.default_backend(),
                 "canonical_shape": list(self.shape),
-                "compiled": self.compiled, "stats": dict(self.stats)}
+                "compiled": compiled, "stats": stats}
 
     def methods(self) -> Dict:
         from tpu3drec.api import _get_detector_registry
@@ -98,7 +111,6 @@ class MatchServer:
             r = match_images(img1, img2, method=method, max_features=mf,
                              ratio=float(body.get("ratio", 0.75)))
         dt = time.perf_counter() - t0
-        self.compiled = True
         H = r.homography
         return {
             "method": method,
@@ -123,7 +135,6 @@ class MatchServer:
         m = np.asarray(f.mask)
         xy = np.asarray(f.xy)[m]
         resp = np.asarray(f.response)[m]
-        self.compiled = True
         return {
             "method": method,
             "num_keypoints": int(m.sum()),
@@ -157,13 +168,18 @@ class MatchServer:
                     else:
                         self._send(404, {"error": f"no route {self.path}"})
                 except Exception as e:   # pragma: no cover
-                    server.stats["errors"] += 1
+                    server._count("errors")
                     self._send(500, {"error": str(e)})
 
             def do_POST(self):
                 t0 = time.perf_counter()
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n > server.max_body_bytes:
+                        self._send(413, {
+                            "error": f"body {n} B exceeds limit "
+                                     f"{server.max_body_bytes} B"})
+                        return
                     body = json.loads(self.rfile.read(n) or b"{}")
                     if self.path == "/match":
                         out = server.match(body)
@@ -172,14 +188,13 @@ class MatchServer:
                     else:
                         self._send(404, {"error": f"no route {self.path}"})
                         return
-                    server.stats["requests"] += 1
-                    server.stats["total_s"] += time.perf_counter() - t0
+                    server._count("requests", time.perf_counter() - t0)
                     self._send(200, out)
                 except KeyError as e:
-                    server.stats["errors"] += 1
+                    server._count("errors")
                     self._send(400, {"error": f"missing field {e}"})
                 except Exception as e:
-                    server.stats["errors"] += 1
+                    server._count("errors")
                     self._send(500, {"error": str(e)})
 
         return Handler
