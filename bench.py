@@ -114,57 +114,43 @@ def bench_ba():
 
 
 def bench_sfm():
-    """Incremental SfM throughput on a synthetic 12-view folder."""
-    import cv2
+    """Incremental SfM throughput at reference scale: a 50-view
+    synthetic monument folder (CPE/pipeline.py:912-966 drives <=50-image
+    folders). Steady-state multi-run MEDIAN + spread: SfM wall time over
+    the tunnel varies +-40% run to run (CLAUDE.md), so a single-shot
+    capture is untrustworthy (VERDICT r2 #10)."""
+    import os
     from tpu3drec.sfm import SfMPipeline
     from tpu3drec.sfm.pipeline import SfMConfig
-    rng = np.random.default_rng(0)
-    W, H, n_views, n_pts = 640, 480, 12, 600
-    K = np.array([[700, 0, W / 2], [0, 700, H / 2], [0, 0, 1]], np.float64)
-    X = rng.uniform(-4, 4, size=(n_pts, 3)) + np.array([0, 0, 12.0])
-    views = []
-    for i in range(n_views):
-        ang = (i - n_views / 2) * 0.08
-        R = cv2.Rodrigues(np.array([0.0, ang, 0.0]))[0]
-        c = np.array([6 * np.sin(ang), 0.15 * i, 12 - 6 * np.cos(ang)])
-        views.append((R, -R @ c))
-    names = [f"img_{i:02d}.png" for i in range(n_views)]
-    matches_data = {}
-    for i in range(n_views - 1):
-        for j in (i + 1, i + 2):
-            if j >= n_views:
-                continue
-            uvs = []
-            for R, t in (views[i], views[j]):
-                Xc = (R @ X.T + t[:, None]).T
-                uv = (K @ Xc.T).T
-                uvs.append(uv[:, :2] / uv[:, 2:3])
-            vis = np.ones(n_pts, bool)
-            for uv in uvs:
-                vis &= (uv[:, 0] > 0) & (uv[:, 0] < W) \
-                    & (uv[:, 1] > 0) & (uv[:, 1] < H)
-            corr = np.concatenate(
-                [uvs[0][vis] + 0.4 * rng.standard_normal((vis.sum(), 2)),
-                 uvs[1][vis] + 0.4 * rng.standard_normal((vis.sum(), 2))],
-                axis=1)
-            matches_data[(names[i], names[j])] = {
-                "correspondences": corr.tolist(),
-                "num_matches": int(vis.sum()), "quality_score": 0.8}
-    info = {n: {"name": n, "width": W, "height": H} for n in names}
+    from tpu3drec.bench.synthetic import make_sfm_scene
+
+    n_views = int(os.environ.get("BENCH_SFM_VIEWS", "50"))
+    n_pts = int(os.environ.get("BENCH_SFM_PTS", "15000"))
+    runs = int(os.environ.get("BENCH_SFM_RUNS", "3"))
+    matches_data, info, _ = make_sfm_scene(n_views=n_views, n_pts=n_pts)
+
     t0 = time.perf_counter()
     recon = SfMPipeline(SfMConfig()).reconstruct(dict(matches_data), info)
     dt_cold = time.perf_counter() - t0
-    # steady state: same-process second run hits every traced executable
-    t0 = time.perf_counter()
-    recon = SfMPipeline(SfMConfig()).reconstruct(dict(matches_data), info)
-    dt = time.perf_counter() - t0
+    # steady state: same-process reruns hit every traced executable
+    rates = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        recon = SfMPipeline(SfMConfig()).reconstruct(dict(matches_data),
+                                                     info)
+        rates.append(recon.num_cameras / (time.perf_counter() - t0))
+    rates = np.asarray(sorted(rates))
     print(json.dumps({
-        "metric": "incremental SfM views/s (12 views, 600 pts, synthetic,"
-                  " steady-state)",
-        "value": round(recon.num_cameras / dt, 3),
+        "metric": f"incremental SfM views/s ({n_views} views,"
+                  f" {n_pts // 1000}k GT pts, synthetic, steady-state"
+                  f" median of {runs})",
+        "value": round(float(np.median(rates)), 3),
         "unit": "views/s",
+        "runs": runs,
+        "spread": [round(float(rates[0]), 3), round(float(rates[-1]), 3)],
         "cold_start_views_per_s": round(recon.num_cameras / dt_cold, 3),
         "cameras": recon.num_cameras, "points": recon.num_points,
+        "observations": recon.num_observations,
     }))
 
 
@@ -186,19 +172,28 @@ def bench_dense():
     sparse = {"camera_poses": cams,
               "points_3d": (rng.uniform(-2, 2, (100, 3))
                             + np.array([0, 0, 6.0])).tolist()}
+    import os
+    runs = int(os.environ.get("BENCH_DENSE_RUNS", "3"))
     pipe = DenseReconstructionPipeline(tsdf_resolution=64)
     res = pipe.run_complete_pipeline(sparse, images,
                                      reference_view="v1.png")  # compile
-    t0 = time.perf_counter()
-    res = pipe.run_complete_pipeline(sparse, images,
-                                     reference_view="v1.png")
-    dt_stereo = res["timings_s"]["stereo"]
     mp = (W * H * 2) / 1e6  # two stereo pairs vs reference
+    rates, totals = [], []
+    for _ in range(runs):   # median of N: tunnel latency noise (r2 #10)
+        t0 = time.perf_counter()
+        res = pipe.run_complete_pipeline(sparse, images,
+                                         reference_view="v1.png")
+        totals.append(time.perf_counter() - t0)
+        rates.append(mp / res["timings_s"]["stereo"])
+    rates = np.asarray(sorted(rates))
     print(json.dumps({
-        "metric": "dense stereo+fusion MP-depth/s (2 pairs, 640x480)",
-        "value": round(mp / dt_stereo, 3),
+        "metric": f"dense stereo+fusion MP-depth/s (2 pairs, 640x480,"
+                  f" median of {runs})",
+        "value": round(float(np.median(rates)), 3),
         "unit": "MP/s",
-        "total_s": round(time.perf_counter() - t0, 2),
+        "runs": runs,
+        "spread": [round(float(rates[0]), 3), round(float(rates[-1]), 3)],
+        "total_s": round(float(np.median(totals)), 2),
         "mesh_method": res["mesh"]["method"],
     }))
 
@@ -256,14 +251,14 @@ def main():
     import os
     H, W = 480, 640
     MAX_FEATURES = 2048
-    BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch 96 became reachable once the sampler meta shrank to
+    # 8 B/keypoint (r2 #7, ops/pallas_sample.py); fall back to 64 if the
+    # bigger batch OOMs HBM on this chip generation
+    BATCH = int(os.environ.get("BENCH_BATCH", "96"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
 
     pair_fn = _make_pair_fn(max_features=MAX_FEATURES, num_hypotheses=256)
     batched = jax.jit(jax.vmap(pair_fn))
-
-    imgs1 = jnp.asarray(np.stack([synthetic_photo(H, W, i) for i in range(BATCH)]))
-    imgs2 = jnp.asarray(np.stack([synthetic_photo(H, W, 100 + i) for i in range(BATCH)]))
 
     # warmup / compile. NB: block_until_ready does NOT block on the axon
     # backend (CLAUDE.md) — force a host materialization of an output that
@@ -271,7 +266,22 @@ def main():
     def materialize(o):
         return np.asarray(o["num_inliers"]).sum() + np.asarray(o["num_matches"]).sum()
 
-    materialize(batched(imgs1, imgs2))
+    def make_batch(n):
+        i1 = jnp.asarray(np.stack([synthetic_photo(H, W, i)
+                                   for i in range(n)]))
+        i2 = jnp.asarray(np.stack([synthetic_photo(H, W, 100 + i)
+                                   for i in range(n)]))
+        return i1, i2
+
+    imgs1, imgs2 = make_batch(BATCH)
+    try:
+        materialize(batched(imgs1, imgs2))
+    except Exception:
+        if BATCH <= 64:
+            raise
+        BATCH = 64
+        imgs1, imgs2 = make_batch(BATCH)
+        materialize(batched(imgs1, imgs2))
 
     t0 = time.perf_counter()
     for _ in range(REPS):

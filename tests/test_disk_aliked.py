@@ -36,8 +36,8 @@ def test_disk_extract(img):
 def test_disk_net_output_resolution():
     import jax
     net = DISKNet()
-    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
-    heat, desc = net.apply(p, jnp.zeros((1, 64, 64, 1)))
+    p = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    heat, desc = net.apply(p, jnp.zeros((1, 64, 64, 3)))
     assert heat.shape == (1, 64, 64)
     assert desc.shape == (1, 64, 64, 128)
 

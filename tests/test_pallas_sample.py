@@ -39,20 +39,21 @@ def test_kernel_matches_oracle():
     keep = np.ones(K, bool)
     keep[4] = False
 
-    imeta, fmeta, dims = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
-                                   jnp.asarray(layer), jnp.asarray(scl),
-                                   jnp.asarray(keep), Hp, Wp, H, W)
+    imeta, dims = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
+                            jnp.asarray(layer), jnp.asarray(scl),
+                            jnp.asarray(keep), Hp, Wp, H, W)
     angle, desc = jax.jit(ori_desc_windows)(
         jnp.asarray(dx, jnp.bfloat16), jnp.asarray(dy, jnp.bfloat16),
-        imeta, fmeta, dims)
+        imeta, dims)
     angle, desc = np.asarray(angle), np.asarray(desc)
 
     for k in range(K):
         if not keep[k]:
             assert angle[k] == 0 and np.all(desc[k] == 0)
             continue
+        scl_q = round(scl[k] * 1024.0) / 1024.0  # kernel's fixed point
         a_ref, d_ref = oracle_ori_desc(dxb[layer[k]], dyb[layer[k]],
-                                       xs[k], ys[k], scl[k], hp=Hp)
+                                       xs[k], ys[k], scl_q, hp=Hp)
         da = abs(a_ref - angle[k])
         da = min(da, 2 * np.pi - da)
         cos = desc[k] @ d_ref / max(
@@ -79,14 +80,13 @@ def test_kernel_vmap_batches_via_flattening():
                        jnp.asarray(keep[b]), Hp, Wp, H, W)
              for b in range(B)]
     imeta = jnp.stack([m[0] for m in metas])
-    fmeta = jnp.stack([m[1] for m in metas])
-    dims = metas[0][2]
+    dims = metas[0][1]
 
     a_b, d_b = jax.jit(jax.vmap(
-        ori_desc_windows, in_axes=(0, 0, 0, 0, None)))(
-            dxs, dys, imeta, fmeta, dims)
+        ori_desc_windows, in_axes=(0, 0, 0, None)))(
+            dxs, dys, imeta, dims)
     for b in range(B):
-        a1, d1 = ori_desc_windows(dxs[b], dys[b], imeta[b], fmeta[b], dims)
+        a1, d1 = ori_desc_windows(dxs[b], dys[b], imeta[b], dims)
         np.testing.assert_allclose(np.asarray(a_b[b]), np.asarray(a1),
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(d_b[b]), np.asarray(d1),
@@ -110,10 +110,11 @@ def test_integrated_pallas_sampler_agrees_with_xla(test_image):
     assert (cos > 0.8).mean() > 0.9, float((cos > 0.8).mean())
 
 
-def test_prep_meta_contract_12_bytes_per_keypoint():
-    """SMEM budget contract: meta is [lv, xy_pack] int32 + scale f32 =
-    12 B/keypoint (batch 64 x 1280 candidates must fit the 1 MB scalar-
-    prefetch budget), and the fixed-point pack round-trips to 1/64 px."""
+def test_prep_meta_contract_8_bytes_per_keypoint():
+    """SMEM budget contract: meta is [lv | sclq << 16, xy_pack] two
+    int32 = 8 B/keypoint (batch 96 x 1280 candidates must fit the 1 MB
+    scalar-prefetch budget — r2 #7), the fixed-point (x, y) pack
+    round-trips to 1/64 px and the scale to 1/1024."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -124,16 +125,20 @@ def test_prep_meta_contract_12_bytes_per_keypoint():
     layer = rng.integers(1, 6, K).astype(np.int32)
     scl = rng.uniform(1.5, 4.0, K).astype(np.float32)
     keep = rng.random(K) > 0.3
-    imeta, fmeta, dims = prep_meta(
+    imeta, dims = prep_meta(
         jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(layer),
         jnp.asarray(scl), jnp.asarray(keep), 480, 768, 480, 640)
     assert imeta.shape == (K, 2) and imeta.dtype == jnp.int32
-    assert fmeta.shape == (K,) and fmeta.dtype == jnp.float32
     assert dims.shape == (2,)
     im = np.asarray(imeta)
-    # lv sentinel: layer+1 when kept, 0 otherwise
-    np.testing.assert_array_equal(im[:, 0],
+    # low half-word: layer+1 when kept, whole word 0 otherwise
+    np.testing.assert_array_equal(im[:, 0] & 0xFFFF,
                                   np.where(keep, layer + 1, 0))
+    # high half-word: 1/1024 fixed-point scale (kept slots)
+    sclq = (im[:, 0] >> 16) & 0xFFFF
+    np.testing.assert_allclose(sclq[keep] / 1024.0, scl[keep],
+                               atol=1 / 2048 + 1e-6)
+    assert (im[~keep, 0] == 0).all()
     # fixed-point unpack (kernel's arithmetic) recovers x, y to 1/128 px
     xq = im[:, 1] & 0xFFFF
     yq = (im[:, 1] >> 16) & 0xFFFF
@@ -161,7 +166,7 @@ def test_prep_meta_large_image_round_trip():
     fb = frac_bits(hp, wp)
     xs = np.array([1500.0, 37.25, 2040.5], np.float32)
     ys = np.array([1060.75, 3.0, 512.5], np.float32)
-    imeta, _, _ = prep_meta(
+    imeta, _ = prep_meta(
         jnp.asarray(xs), jnp.asarray(ys),
         jnp.asarray([1, 1, 1], np.int32), jnp.ones(3, np.float32),
         jnp.asarray([True] * 3), hp, wp, 1080, 2040)
@@ -190,12 +195,12 @@ def test_kernel_matches_oracle_beyond_1024px():
     scl = np.array([2.0, 3.1, 1.7], np.float32)
     keep = np.ones(3, bool)
 
-    imeta, fmeta, dims = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
-                                   jnp.asarray(layer), jnp.asarray(scl),
-                                   jnp.asarray(keep), Hp, Wp, H, W)
+    imeta, dims = prep_meta(jnp.asarray(xs), jnp.asarray(ys),
+                            jnp.asarray(layer), jnp.asarray(scl),
+                            jnp.asarray(keep), Hp, Wp, H, W)
     angle, desc = jax.jit(ori_desc_windows)(
         jnp.asarray(dx, jnp.bfloat16), jnp.asarray(dy, jnp.bfloat16),
-        imeta, fmeta, dims)
+        imeta, dims)
     angle, desc = np.asarray(angle), np.asarray(desc)
 
     im = np.asarray(imeta)
@@ -203,8 +208,9 @@ def test_kernel_matches_oracle_beyond_1024px():
     for k in range(3):
         x_deq = (im[k, 1] & 0xFFFF) * q
         y_deq = ((im[k, 1] >> 16) & 0xFFFF) * q
+        scl_q = round(scl[k] * 1024.0) / 1024.0
         a_ref, d_ref = oracle_ori_desc(dxb[layer[k]], dyb[layer[k]],
-                                       x_deq, y_deq, scl[k], hp=Hp)
+                                       x_deq, y_deq, scl_q, hp=Hp)
         da = abs(a_ref - angle[k])
         da = min(da, 2 * np.pi - da)
         cos = desc[k] @ d_ref / max(

@@ -89,7 +89,15 @@ class PerformanceTask:
                 continue
             for run in range(self.config.num_runs):
                 img1, img2 = image_pairs[run % len(image_pairs)]
+                proc = None
+                baseline_mb = 0.0
                 if self.config.measure_memory:
+                    try:
+                        import psutil
+                        proc = psutil.Process()
+                        baseline_mb = proc.memory_info().rss / 1e6
+                    except Exception:
+                        proc = None
                     tracemalloc.start()
                 t0 = time.perf_counter()
                 r = match_images(img1, img2, method=method,
@@ -101,12 +109,19 @@ class PerformanceTask:
                 if self.config.measure_memory:
                     cur, peak = tracemalloc.get_traced_memory()
                     tracemalloc.stop()
-                    mem = {"traced_peak_mb": peak / 1e6}
-                    try:
-                        import psutil
-                        mem["rss_mb"] = psutil.Process().memory_info().rss / 1e6
-                    except Exception:
-                        pass
+                    # field-complete vs reference detailed_memory_profile
+                    # (benchmarking.py:697-742): baseline/final/net RSS +
+                    # traced current/peak, plus TPU device stats
+                    mem = {"traced_current_mb": cur / 1e6,
+                           "traced_peak_mb": peak / 1e6}
+                    if proc is not None:
+                        final_mb = proc.memory_info().rss / 1e6
+                        mem.update({
+                            "baseline_mb": baseline_mb,
+                            "final_mb": final_mb,
+                            "rss_mb": final_mb,
+                            "net_increase_mb": final_mb - baseline_mb,
+                        })
                     mem.update(_device_memory_stats())
                 runs.append({
                     "pipeline_time": dt,
@@ -118,6 +133,10 @@ class PerformanceTask:
                 })
             times = [r["pipeline_time"] for r in runs]
             matches = [r["num_matches"] for r in runs]
+            peaks = [r["memory"].get("traced_peak_mb") for r in runs
+                     if r["memory"].get("traced_peak_mb") is not None]
+            nets = [r["memory"].get("net_increase_mb") for r in runs
+                    if r["memory"].get("net_increase_mb") is not None]
             results[method] = {
                 "raw_runs": runs,
                 "avg_pipeline_time": float(np.mean(times)),
@@ -126,6 +145,12 @@ class PerformanceTask:
                 "matches_per_second": float(
                     np.mean(matches) / max(np.mean(times), 1e-9)),
                 "time_stats": describe(times),
+                "memory_summary": {
+                    "avg_traced_peak_mb":
+                        float(np.mean(peaks)) if peaks else None,
+                    "avg_net_increase_mb":
+                        float(np.mean(nets)) if nets else None,
+                },
             }
         return results
 

@@ -39,12 +39,18 @@ def pair_data_from_result(result, max_matches: Optional[int] = None) -> Dict:
     corr = np.concatenate([p1[valid], p2[valid]], axis=1)
     if max_matches:
         corr = corr[:max_matches]
+    scores = np.asarray(m.score)[valid]
+    if max_matches:
+        scores = scores[:max_matches]
     return {
         "correspondences": corr.tolist(),
         "num_matches": len(corr),
         "quality_score": float(result.get_quality_score()),
         "method": result.method,
         "score_type": m.score_type,
+        # raw per-match scores for score-type-aware confidence
+        # normalization downstream (pair_selector.py:1110-1360 parity)
+        "match_scores": scores.tolist(),
         "processing_time": float(result.total_time),
         "inlier_ratio": result.inlier_ratio,
         "reprojection_error": result.reprojection_error,

@@ -130,7 +130,11 @@ def save_reconstruction_orbax(recon, directory) -> None:
     directory = Path(directory).absolute()
     names = sorted(recon.cameras)
     name_id = {n: i for i, n in enumerate(names)}
-    n_pts = len(recon.points)
+    n_pts = recon.num_points
+    # struct-of-arrays store: zero-copy views + one LUT gather remaps
+    # insertion-order camera ids to this checkpoint's sorted order
+    ocam, opid, ouv = recon.obs_arrays()
+    lut = np.asarray([name_id[n] for n in recon.camera_names()], np.int32)
     tree = {
         "R": (np.stack([recon.cameras[n].R for n in names])
               if names else np.zeros((0, 3, 3))),
@@ -138,16 +142,13 @@ def save_reconstruction_orbax(recon, directory) -> None:
               if names else np.zeros((0, 3))),
         "K": (np.stack([recon.cameras[n].K for n in names])
               if names else np.zeros((0, 3, 3))),
-        "points": (np.stack(recon.points)
+        "points": (np.asarray(recon.points)
                    if n_pts else np.zeros((0, 3))),
-        "colors": (np.stack(recon.point_colors)
+        "colors": (np.asarray(recon.point_colors)
                    if n_pts else np.zeros((0, 3), np.uint8)),
-        "obs_cam": np.asarray([name_id[c] for c, _, _
-                               in recon.observations], np.int32),
-        "obs_pt": np.asarray([p for _, p, _ in recon.observations],
-                             np.int32),
-        "obs_uv": (np.stack([uv for _, _, uv in recon.observations])
-                   if recon.observations else np.zeros((0, 2))),
+        "obs_cam": (lut[ocam] if len(ocam) else np.zeros(0, np.int32)),
+        "obs_pt": np.asarray(opid, np.int32),
+        "obs_uv": (np.asarray(ouv) if len(ouv) else np.zeros((0, 2))),
     }
     state_dir = directory / "state"
     if state_dir.exists():
@@ -187,9 +188,8 @@ def load_reconstruction_orbax(directory):
             tuple(manifest["image_sizes"][n])))
     pts = np.asarray(tree["points"])
     if len(pts):
-        ids = recon.add_points_batch(pts)
-        recon.point_colors = list(np.asarray(tree["colors"], np.uint8))
-        del ids
+        recon.add_points_batch(pts)
+        recon.point_colors = np.asarray(tree["colors"], np.uint8)
     obs_cam = np.asarray(tree["obs_cam"])
     obs_pt = np.asarray(tree["obs_pt"])
     obs_uv = np.asarray(tree["obs_uv"])

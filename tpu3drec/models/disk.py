@@ -1,27 +1,40 @@
-"""DISK in Flax: U-Net feature extractor with heatmap + 128-d descriptors.
+"""DISK in Flax: thin-U-Net feature extractor with heatmap + 128-d
+descriptors, weight-compatible with the published checkpoints.
 
 TPU-native replacement for the reference's torch DISK wrapper
-(deep_learning_detectors.py:150-226). Architecture follows the DISK paper
-(Tyszkiewicz et al. 2020): a U-Net backbone producing a detection heatmap
-and dense 128-d descriptors; inference keypoints are local maxima of the
-heatmap with top-K selection and bilinear descriptor sampling (same padded
-extraction contract as SuperPoint).
+(deep_learning_detectors.py:150-226). The backbone transcribes the
+published DISK architecture (Tyszkiewicz et al. 2020, cvg/DISK, which
+builds on the `unets` package):
 
-Checkpoint conversion is intentionally NOT provided: the published DISK
-backbone is a bespoke thin-U-Net whose exact block topology cannot be
-verified in this zero-egress environment, and a converter written
-against a guessed layout would silently load garbage. (The reference's
-own committed benchmark records DISK accuracy as 0.000 — its DISK path
-was broken; BASELINE.md.) SuperPoint and LightGlue have verified
-converters (tests/test_superpoint_parity.py, test_lightglue_parity.py);
-DISK follows the same harness pattern once its topology can be checked
-against the published source.
+  thin U-Net, kernel size 5, RGB input:
+    down channels [16, 32, 64, 64, 64] — block 0 convolves at full
+      resolution, blocks 1..4 average-pool 2x then convolve;
+    up channels [64, 64, 64, 129] — nearest-neighbour 2x upsample,
+      concat the skip, convolve;
+    every conv block is PReLU gate -> InstanceNorm (no affine) ->
+      5x5 conv (the "thin" single-conv block); the FIRST down block
+      applies the conv directly to the image (no gate/norm on raw
+      pixels — documented assumption, see `first_block_plain`).
+  output channels: descriptors = [:128], heatmap = [128] (DISK's
+  `features[:, :desc_dim]` / `[:, desc_dim:]` split).
+
+`load_torch_weights` converts a torch state dict ORDER-BASED: tensors
+are consumed in registration order (PReLU slopes, conv kernels, conv
+biases), so it tolerates the naming differences between the official
+checkpoint (`unet.path_down...`) and any mirror — a topology mismatch
+surfaces as a tensor count/shape error instead of silently loading
+garbage. Numerical parity vs a torch mirror of the published blocks is
+proven in tests/test_disk_parity.py (same harness as SuperPoint /
+LightGlue). NB: the reference's own committed benchmark records DISK
+accuracy as 0.000 — its DISK path was broken (BASELINE.md); this
+converter + the parity harness make the row closable the moment a real
+checkpoint is dropped into the weights dir.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,44 +43,62 @@ from flax import linen as nn
 
 from tpu3drec.core.types import Features, DescriptorKind
 
+DOWN = (16, 32, 64, 64, 64)
+UP = (64, 64, 64, 129)
+KSIZE = 5
 
-class _ConvBlock(nn.Module):
+
+def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm2d, affine=False (torch default): per-sample,
+    per-channel spatial standardization."""
+    mu = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps)
+
+
+class _ThinBlock(nn.Module):
+    """gate (PReLU) -> InstanceNorm -> 5x5 conv; `plain` skips gate/norm
+    (the image-facing first block)."""
     ch: int
+    plain: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.ch, (3, 3), padding="SAME")(x)
-        x = nn.gelu(x)
-        x = nn.Conv(self.ch, (3, 3), padding="SAME")(x)
-        return nn.gelu(x)
+        if not self.plain:
+            slope = self.param("prelu", nn.initializers.constant(0.25),
+                               (1,), jnp.float32)
+            x = jnp.where(x >= 0, x, slope * x)
+            x = _instance_norm(x)
+        return nn.Conv(self.ch, (KSIZE, KSIZE), padding="SAME",
+                       name="conv")(x)
 
 
 class DISKNet(nn.Module):
-    """U-Net: 3 down / 3 up levels -> (heatmap, desc(128))."""
+    """Published DISK thin U-Net (see module docstring)."""
 
     desc_dim: int = 128
-    base: int = 32
+    first_block_plain: bool = True
 
     @nn.compact
     def __call__(self, x):
-        # encoder
-        e1 = _ConvBlock(self.base)(x)
-        e2 = _ConvBlock(self.base * 2)(nn.max_pool(e1, (2, 2), (2, 2)))
-        e3 = _ConvBlock(self.base * 4)(nn.max_pool(e2, (2, 2), (2, 2)))
-        b = _ConvBlock(self.base * 8)(nn.max_pool(e3, (2, 2), (2, 2)))
-
-        def up(x, skip, ch):
-            bsz, h, w, _ = skip.shape
-            x = jax.image.resize(x, (bsz, h, w, x.shape[-1]), "linear")
-            x = jnp.concatenate([x, skip], axis=-1)
-            return _ConvBlock(ch)(x)
-
-        d3 = up(b, e3, self.base * 4)
-        d2 = up(d3, e2, self.base * 2)
-        d1 = up(d2, e1, self.base)
-        out = nn.Conv(self.desc_dim + 1, (1, 1))(d1)
-        heat = out[..., 0]
-        desc = out[..., 1:]
+        """x: (B, H, W, 3), H % 16 == 0, W % 16 == 0.
+        Returns (heat (B, H, W), desc (B, H, W, 128) L2-normalized)."""
+        skips = []
+        h = x
+        for i, ch in enumerate(DOWN):
+            if i > 0:
+                h = nn.avg_pool(h, (2, 2), (2, 2))
+            h = _ThinBlock(ch, plain=(i == 0 and self.first_block_plain),
+                           name=f"down_{i}")(h)
+            skips.append(h)
+        for i, ch in enumerate(UP):
+            skip = skips[len(DOWN) - 2 - i]
+            b_, hh, ww, c_ = skip.shape
+            h = jax.image.resize(h, (b_, hh, ww, h.shape[-1]), "nearest")
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = _ThinBlock(ch, name=f"up_{i}")(h)
+        desc = h[..., : self.desc_dim]
+        heat = h[..., self.desc_dim]
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
         return heat, desc
@@ -86,7 +117,7 @@ class DISK:
         self.threshold = threshold
 
     def init_random(self, image_shape: Tuple[int, int], seed: int = 0):
-        x = jnp.zeros((1,) + tuple(image_shape) + (1,), jnp.float32)
+        x = jnp.zeros((1,) + tuple(image_shape) + (3,), jnp.float32)
         self.params = self.net.init(jax.random.PRNGKey(seed), x)
         return self.params
 
@@ -95,8 +126,9 @@ class DISK:
         if self.params is None:
             raise RuntimeError("DISK weights not loaded")
         h, w = image.shape
-        ph, pw = (-h) % 8, (-w) % 8
+        ph, pw = (-h) % 16, (-w) % 16
         x = jnp.pad(image, ((0, ph), (0, pw)))[None, :, :, None]
+        x = jnp.repeat(x, 3, axis=-1)   # grayscale -> RGB input
         heat, desc = self.net.apply(self.params, x)
         heat = heat[0, :h, :w]
         win = 2 * self.nms_radius + 1
@@ -121,11 +153,85 @@ class DISK:
             image_shape=(h, w))
 
 
+# -- torch checkpoint conversion ---------------------------------------
+
+def load_torch_weights(state_dict: Dict[str, np.ndarray],
+                       first_block_plain: bool = True) -> Dict:
+    """Convert a DISK torch state dict to this net's params, ORDER-BASED.
+
+    The published checkpoint stores tensors in module registration
+    order: for each thin block (down 0..4, then up 0..3) a PReLU slope
+    (except a plain first block), then the conv kernel (out, in, 5, 5)
+    and bias. Instance norms are affine-free (no tensors). Keys are
+    ignored beyond ordering, so `unet.path_down.0...` (official),
+    `extractor.unet...` or any mirror naming all convert; a wrong
+    topology fails loudly on count/shape.
+    """
+    tensors: List[np.ndarray] = [
+        np.asarray(v) for k, v in state_dict.items()]
+    it = iter(tensors)
+
+    def take_block(ch_out: int, plain: bool) -> Dict:
+        p: Dict[str, np.ndarray] = {}
+        t = next(it)
+        if not plain:
+            if t.ndim != 1 or t.size != 1:
+                raise ValueError(
+                    f"expected PReLU slope, got shape {t.shape}")
+            p["prelu"] = jnp.asarray(t.reshape(1), jnp.float32)
+            t = next(it)
+        if t.ndim != 4:
+            raise ValueError(f"expected conv kernel, got shape {t.shape}")
+        if t.shape[0] != ch_out:
+            raise ValueError(
+                f"conv out {t.shape[0]} != expected {ch_out}")
+        # torch OIHW -> flax HWIO
+        kern = jnp.asarray(np.transpose(t, (2, 3, 1, 0)), jnp.float32)
+        bias = next(it)
+        if bias.shape != (ch_out,):
+            raise ValueError(f"bad bias shape {bias.shape}")
+        p["conv"] = {"kernel": kern,
+                     "bias": jnp.asarray(bias, jnp.float32)}
+        return p
+
+    params: Dict[str, Dict] = {}
+    for i, ch in enumerate(DOWN):
+        params[f"down_{i}"] = take_block(
+            ch, plain=(i == 0 and first_block_plain))
+    for i, ch in enumerate(UP):
+        params[f"up_{i}"] = take_block(ch, plain=False)
+    leftover = sum(1 for _ in it)
+    if leftover:
+        raise ValueError(f"{leftover} unconsumed tensors — topology "
+                         "mismatch")
+    return {"params": params}
+
+
+def convert_torch_checkpoint(path_in, path_out=None) -> Dict:
+    """CLI helper: torch .pth -> converted npz in the weights dir."""
+    import torch
+    from pathlib import Path
+    from tpu3drec.models import WEIGHTS_DIR
+    sd = torch.load(path_in, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "extractor" in sd:   # official save format
+        sd = sd["extractor"]
+    params = load_torch_weights(
+        {k: v.numpy() for k, v in sd.items()})
+    out = path_out or (WEIGHTS_DIR / "disk.npz")
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, params=np.asarray(
+        jax.tree.map(np.asarray, params["params"]), dtype=object))
+    return params
+
+
 def detect_disk_features(img, max_features: int = 2048, **_unused) -> Features:
     from tpu3drec.models import WEIGHTS_DIR, weights_available
     if not weights_available("disk"):
         raise ImportError(f"disk weights not available ({WEIGHTS_DIR}/disk.npz)")
     data = np.load(WEIGHTS_DIR / "disk.npz", allow_pickle=True)
     dk = DISK(max_features=max_features)
-    dk.params = jax.tree.map(jnp.asarray, data["params"].item())
+    dk.params = {"params": jax.tree.map(jnp.asarray,
+                                        data["params"].item())}
     return dk.extract(jnp.asarray(img))

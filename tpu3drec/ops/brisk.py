@@ -47,9 +47,11 @@ def _make_pattern():
 
 
 _PTS, _SHORT, _LONG = _make_pattern()
-PATTERN = jnp.asarray(_PTS)
-SHORT_PAIRS = jnp.asarray(_SHORT)
-LONG_PAIRS = jnp.asarray(_LONG)
+# numpy on purpose: module-level jnp constants leak tracers when the
+# module is first imported inside a jit trace (ops/five_point.py:60)
+PATTERN = np.asarray(_PTS)
+SHORT_PAIRS = np.asarray(_SHORT)
+LONG_PAIRS = np.asarray(_LONG)
 
 
 def _sample_pattern(img: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray,

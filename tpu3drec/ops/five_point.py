@@ -57,8 +57,13 @@ _GEN_PTS = _rng.normal(0.0, 1.0, size=(20, 3))
 _VAND = np.stack([[pt[0] ** i * pt[1] ** j * pt[2] ** k
                    for (i, j, k) in _MONOMIALS] for pt in _GEN_PTS])
 _VAND_INV = np.linalg.inv(_VAND)  # cond ~1e4 at this seed — fine in f64
-GEN_PTS = jnp.asarray(_GEN_PTS.astype(np.float32))
-VAND_INV_T = jnp.asarray(_VAND_INV.T.astype(np.float32))
+# KEEP these as numpy: this module is imported lazily and can be first
+# loaded INSIDE an active jit trace (find_essential is jitted), where a
+# module-level jnp.asarray would mint a tracer that leaks into every
+# later trace (UnexpectedTracerError at reference-scale SfM). numpy
+# constants are safely re-lifted per trace.
+GEN_PTS = _GEN_PTS.astype(np.float32)
+VAND_INV_T = _VAND_INV.T.astype(np.float32).copy()
 
 # index of x, y, 1 within the B basis (for solution extraction)
 _BX, _BY, _B1 = 6, 7, 9

@@ -23,11 +23,12 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tpu3drec.core.types import Features, Matches, ScoreType, DescriptorKind
 
-_INF = jnp.float32(3.4e38)
+_INF = np.float32(3.4e38)
 
 
 def distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,

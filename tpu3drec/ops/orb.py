@@ -2,14 +2,17 @@
 steered BRIEF binary descriptors.
 
 TPU-native replacement for cv2.ORB_create (reference
-traditional_detectors.py:54-91). Differences from OpenCV, by design:
+traditional_detectors.py:54-91). Notes vs OpenCV:
 
-- the 256 BRIEF point pairs are drawn from the isotropic Gaussian sampling
-  of the original BRIEF paper (seeded, fixed at import) rather than
-  OpenCV's learned bit pattern — descriptors are self-consistent within
-  this framework (bit-compatibility with cv2 is impossible anyway once the
-  detector pipeline differs) and matching quality is asserted functionally
-  in tests;
+- TWO sampling patterns (`pattern=` of detect_orb_features):
+  * "brief" (default): 256 pairs from the isotropic Gaussian sampling of
+    the original BRIEF paper (seeded, fixed at import) — self-consistent
+    within this framework;
+  * "opencv": OpenCV's learned bit pattern (ops/_orb_pattern_cv.py) with
+    the matching sigma-2 smoothing, so descriptors INTEROPERATE with
+    reference-produced cv2 ORB pickles (VERDICT r2 #8) —
+    `unpack_cv2_orb` converts cv2's packed 32-byte rows into this
+    framework's +-1 layout for cross-framework Hamming matching;
 - descriptors are stored as +-1 float so Hamming distance runs on the MXU
   as a matmul (core_data_structures rebuild, see ops/match.py).
 
@@ -41,7 +44,26 @@ PATCH_R = 15  # orientation / descriptor patch radius (cv2: 31x31 patch)
 _rng = np.random.default_rng(20120916)  # fixed: pattern is part of the format
 _PAIRS = np.clip(_rng.normal(0.0, PATCH_R / 2.0, size=(DESC_BITS, 4)),
                  -PATCH_R, PATCH_R).astype(np.float32)
-BRIEF_PAIRS = jnp.asarray(_PAIRS)  # (256, 4) = x1, y1, x2, y2
+BRIEF_PAIRS = _PAIRS  # (256, 4) = x1, y1, x2, y2; numpy on purpose
+# (module-level jnp constants leak tracers if the module is first
+# imported inside a jit trace — see ops/five_point.py:60)
+
+
+def _pattern_table(pattern: str) -> np.ndarray:
+    if pattern == "opencv":
+        from tpu3drec.ops._orb_pattern_cv import BIT_PATTERN_31
+        return BIT_PATTERN_31
+    return BRIEF_PAIRS
+
+
+def unpack_cv2_orb(desc_u8: np.ndarray) -> np.ndarray:
+    """cv2 ORB descriptors (N, 32) uint8 -> this framework's (N, 256)
+    +-1 float layout (bit k = byte k//8, bit k%8; set bit -> +1, the
+    `I(p1) < I(p2)` convention both sides share). Enables matching
+    reference-produced ORB pickles against pattern="opencv" features."""
+    d = np.asarray(desc_u8, np.uint8)
+    bits = np.unpackbits(d, axis=1, bitorder="little")  # (N, 256)
+    return (bits.astype(np.float32) * 2.0 - 1.0)
 
 
 def _centroid_kernels() -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -67,13 +89,12 @@ def _moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return y[0, 0], y[0, 1]
 
 
-def _describe(img: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
-              ) -> jnp.ndarray:
+def _describe(img: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray,
+              pairs: np.ndarray = BRIEF_PAIRS) -> jnp.ndarray:
     """Steered BRIEF: (K, 256) +-1 floats."""
     from tpu3drec.ops.sift import _bilinear_many
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
-    x1, y1, x2, y2 = (BRIEF_PAIRS[:, 0], BRIEF_PAIRS[:, 1],
-                      BRIEF_PAIRS[:, 2], BRIEF_PAIRS[:, 3])
+    x1, y1, x2, y2 = (pairs[:, 0], pairs[:, 1], pairs[:, 2], pairs[:, 3])
 
     def rot(px, py):
         rx = ca[:, None] * px[None] - sa[:, None] * py[None]
@@ -88,10 +109,15 @@ def _describe(img: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("max_features", "n_levels",
-                                             "scale_factor_x1000"))
+                                             "scale_factor_x1000",
+                                             "pattern"))
 def _orb_impl(img: jnp.ndarray, max_features: int, n_levels: int,
               scale_factor_x1000: int, fast_threshold: float,
-              harris_k: float):
+              harris_k: float, pattern: str = "brief"):
+    pairs = _pattern_table(pattern)
+    # cv2 smooths with a 7x7 sigma-2 Gaussian before sampling; match it
+    # on the interop pattern so comparisons see the same measurements
+    desc_sigma = 2.0 if pattern == "opencv" else 1.0
     scale_factor = scale_factor_x1000 / 1000.0
     h0, w0 = img.shape
     parts = []
@@ -102,7 +128,7 @@ def _orb_impl(img: jnp.ndarray, max_features: int, n_levels: int,
         s = scale_factor ** level
         h, w = max(int(round(h0 / s)), 16), max(int(round(w0 / s)), 16)
         im = img if level == 0 else jax.image.resize(img, (h, w), "linear")
-        blur = gaussian_blur(im, 1.0)  # descriptors sample the blurred image
+        blur = gaussian_blur(im, desc_sigma)  # descriptor sampling image
         score = fast_score_map(im, fast_threshold)
         peaks = nms_2d(score, 1) & (score > 0)
         # Harris re-ranking of FAST survivors (cv2 HARRIS_SCORE)
@@ -116,7 +142,7 @@ def _orb_impl(img: jnp.ndarray, max_features: int, n_levels: int,
         xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
         angle = jnp.arctan2(m01[yi, xi], m10[yi, xi])
-        desc = _describe(blur, xy, angle)
+        desc = _describe(blur, xy, angle, pairs)
         parts.append(dict(
             xy=xy * s,
             response=jnp.where(mask, resp, -jnp.inf),
@@ -147,14 +173,17 @@ def detect_orb_features(img: jnp.ndarray, max_features: int = 2048,
                         n_levels: int = 8, scale_factor: float = 1.2,
                         fast_threshold: float = 20.0 / 255.0,
                         harris_k: float = 0.04,
+                        pattern: str = "brief",
                         method: str = "ORB", **_unused) -> Features:
     """Detector contract: cv2.ORB defaults (n_levels=8, scale=1.2,
-    fast_threshold=20 -> 0.078 in [0,1] units)."""
+    fast_threshold=20 -> 0.078 in [0,1] units). pattern="opencv" uses
+    OpenCV's learned bit pattern for cross-framework descriptor
+    interop (see module docstring)."""
     if fast_threshold > 1.0:  # accept cv2-style 0-255 thresholds
         fast_threshold = fast_threshold / 255.0
     xy, resp, scale, angle, desc, mask = _orb_impl(
         img, max_features, n_levels, int(round(scale_factor * 1000)),
-        fast_threshold, harris_k)
+        fast_threshold, harris_k, pattern=pattern)
     return Features(xy=xy, response=resp, scale=scale, angle=angle,
                     desc=desc, mask=mask, method=method,
                     desc_kind=DescriptorKind.BINARY.value,

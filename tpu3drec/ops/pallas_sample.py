@@ -220,21 +220,24 @@ def frac_bits(hp: int, wp: int) -> int:
     return max(1, min(6, 16 - (m - 1).bit_length()))
 
 
-def _ori_desc_kernel(fb, imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
+def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref,
                      angle_ref, desc_ref, win_ref, sem_ref):
     # meta arrays ride flattened (2-D SMEM operands are padded to 128
-    # lanes per row) and SLIM: [lv, xy_pack] int32 + scale f32 = 12 B per
-    # keypoint, so a 64-image x 1280-candidate batch costs ~983 KB of the
-    # 1 MB SMEM budget (which counts ALL prefetch operands together).
-    # Window origins are re-derived in-kernel from the fixed-point (x, y)
-    # — scalar ALU is free next to the DMA it gates. `fb` is the static
-    # per-shape-bucket fraction-bit count (frac_bits).
+    # lanes per row) and SLIM: [lv | sclq << 16, xy_pack] two int32 =
+    # 8 B per keypoint (scale rides as 1/1024 fixed point in the high
+    # half-word — r2 #7: the f32 scale array was the blocker for batch
+    # 96, which needs <= 8.5 B/kpt to fit the 1 MB SMEM budget that
+    # counts ALL prefetch operands together). Window origins are
+    # re-derived in-kernel from the fixed-point (x, y) — scalar ALU is
+    # free next to the DMA it gates. `fb` is the static per-shape-bucket
+    # fraction-bit count (frac_bits).
     k = pl.program_id(0)
     nk = pl.num_programs(0)
     _, hp, wp = dxs_ref.shape
     half = 1 << (fb - 1)
     inv_scale = 1.0 / (1 << fb)
-    valid = imeta_ref[2 * k + 0]   # lv sentinel: layer+1 if valid else 0
+    meta0 = imeta_ref[2 * k + 0]
+    valid = meta0 & 0xFFFF         # lv sentinel: layer+1 if valid else 0
     slot = jax.lax.rem(k, 2)
 
     def _coords(j):
@@ -263,7 +266,7 @@ def _ori_desc_kernel(fb, imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
             x0j = 0
         else:
             x0j, y0j = _origin(j)
-            layj = imeta_ref[2 * j] - 1
+            layj = (imeta_ref[2 * j] & 0xFFFF) - 1
         src = (dxs_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)],
                dys_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)])
         return [pltpu.make_async_copy(src[ch], win_ref.at[s, ch],
@@ -298,7 +301,7 @@ def _ori_desc_kernel(fb, imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
         xq, yq = _coords(k)
         x = xq.astype(jnp.float32) * inv_scale
         y = yq.astype(jnp.float32) * inv_scale
-        scl = fmeta_ref[k]
+        scl = ((meta0 >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 1024.0)
         w_real = dims_ref[0]
         h_real = dims_ref[1]
 
@@ -495,20 +498,22 @@ def _ori_desc_kernel(fb, imeta_ref, fmeta_ref, dims_ref, dxs_ref, dys_ref,
 
 @jax.custom_batching.custom_vmap
 def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
-                     imeta: jnp.ndarray, fmeta: jnp.ndarray,
-                     dims: jnp.ndarray):
+                     imeta: jnp.ndarray, dims: jnp.ndarray):
     """Orientation + descriptor for K keypoints via window DMA.
 
     dxs, dys: (S, Hp, Wp) bf16 gradient stacks; Hp % 8 == 0, Hp >= WIN_H,
     Wp % 128 == 0, Wp >= WIN_W (zero-padded beyond the real image).
-    imeta: (K, 2) int32 [lv, xy_pack]: lv = layer+1 (0 = invalid slot);
+    imeta: (K, 2) int32 [lv | sclq << 16, xy_pack]:
+           lv = layer+1 in the low half-word (0 = invalid slot, whole
+           word 0 so the `> 0` DMA gates stay one compare); sclq =
+           round(scale * 1024) (<= 32767 keeps the word positive);
            xy_pack = round(x * 2**fb) | (round(y * 2**fb) << 16) with
            fb = frac_bits(Hp, Wp) — static per shape bucket, 1/64 px up
            to 1024-px stacks, coarser (still >= 1/2 px) above so big
            images never saturate the 16-bit fields. Aligned window
-           origins are re-derived in-kernel. 12 B per keypoint total, so
-           batch 64 at 1280 candidates fits the 1 MB SMEM budget.
-    fmeta: (K,) f32 scale.
+           origins are re-derived in-kernel. 8 B per keypoint total
+           (r2 #7), so batch 96 at 1280 candidates fits the 1 MB SMEM
+           budget.
     dims:  (2,) f32 [w_real, h_real] — shared by every keypoint.
     Returns (angle (K,), desc (K, 128)) f32; descriptors are normalized
     here in XLA (clip at 0.2, renorm to 512 — result_types.py parity).
@@ -520,7 +525,7 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
     interpret = jax.default_backend() != "tpu"
     K = imeta.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(K,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -547,8 +552,7 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
             jax.ShapeDtypeStruct((K, 16, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(imeta.reshape(-1), fmeta.reshape(-1).astype(jnp.float32), dims,
-      dxs, dys)
+    )(imeta.reshape(-1), dims, dxs, dys)
     desc = raw[:, :, :DESC_B].reshape(K, 128)  # (rc major, o minor)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
@@ -559,8 +563,7 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
 
 
 @ori_desc_windows.def_vmap
-def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, fmeta,
-                        dims):
+def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, dims):
     """Batch by flattening: (B,S,Hp,Wp) stacks -> (B*S,Hp,Wp), keypoints
     -> (B*K,) with layer indices offset per batch element. `dims` is the
     same for every batch element (static image shape) and stays (2,)."""
@@ -571,19 +574,20 @@ def _ori_desc_vmap_rule(axis_size, in_batched, dxs, dys, imeta, fmeta,
     dxs = bcast(dxs, in_batched[0])
     dys = bcast(dys, in_batched[1])
     imeta = bcast(imeta, in_batched[2])
-    fmeta = bcast(fmeta, in_batched[3])
-    if in_batched[4]:
+    if in_batched[3]:
         dims = dims[0]
     B, S, Hp, Wp = dxs.shape
     K = imeta.shape[1]
     layer_off = (jnp.arange(B, dtype=imeta.dtype) * S)[:, None]
-    # lv sentinel (0 = invalid) must stay 0 through the batch offset
-    lv = imeta[:, :, 0]
-    imeta = imeta.at[:, :, 0].set(jnp.where(lv > 0, lv + layer_off, 0))
+    # offset the lv half-word only; the 0 sentinel (whole word) must
+    # stay 0 through the batch offset
+    word = imeta[:, :, 0]
+    lv = word & 0xFFFF
+    imeta = imeta.at[:, :, 0].set(
+        jnp.where(lv > 0, word + layer_off, 0))
     angle, desc = ori_desc_windows(
         dxs.reshape(B * S, Hp, Wp), dys.reshape(B * S, Hp, Wp),
-        imeta.reshape(B * K, 2), fmeta.reshape(B * K),
-        dims)
+        imeta.reshape(B * K, 2), dims)
     return (angle.reshape(B, K), desc.reshape(B, K, 128)), (True, True)
 
 
@@ -596,17 +600,21 @@ def pad_dims(h: int, w: int):
 
 def prep_meta(xs, ys, ls_layer, scl, keep, hp: int, wp: int,
               h_real: int, w_real: int):
-    """Slim meta arrays for ori_desc_windows (12 B/keypoint). Window
+    """Slim meta arrays for ori_desc_windows (8 B/keypoint). Window
     origins are derived in-kernel (keypoint lane offset in [64, 192) /
     row offset in [44, 52) when unclipped); hp/wp come from the
     gradient-stack shape; (x, y) ride as 1/2**frac_bits(hp, wp)-px fixed
-    point (the kernel derives the same fb from the static stack shape)."""
+    point (the kernel derives the same fb from the static stack shape);
+    scale rides as 1/1024 fixed point in the high half-word of the
+    lv field (r2 #7: 8 B/kpt unlocks the batch-96 SMEM budget)."""
     scale = float(1 << frac_bits(hp, wp))
     xq = jnp.clip(jnp.round(xs * scale), 0, 65535).astype(jnp.int32)
     yq = jnp.clip(jnp.round(ys * scale), 0, 65535).astype(jnp.int32)
     pack = xq | (yq << 16)
-    lv = jnp.where(keep, ls_layer.astype(jnp.int32) + 1, 0)
+    sclq = jnp.clip(jnp.round(jnp.asarray(scl, jnp.float32) * 1024.0),
+                    0, 32767).astype(jnp.int32)
+    lv = jnp.where(keep,
+                   (ls_layer.astype(jnp.int32) + 1) | (sclq << 16), 0)
     imeta = jnp.stack([lv, pack], axis=1)
-    fmeta = jnp.asarray(scl, jnp.float32)
     dims = jnp.array([float(w_real), float(h_real)], jnp.float32)
-    return imeta, fmeta, dims
+    return imeta, dims

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-_INF = jnp.float32(3.4e38)
+_INF = np.float32(3.4e38)
 
 
 def depth_map_to_point_cloud(depth: jnp.ndarray, K: jnp.ndarray,

@@ -429,11 +429,11 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
             if (hp, wp) != (hh, wh):
                 dxp = jnp.pad(dxp, ((0, 0), (0, hp - hh), (0, wp - wh)))
                 dyp = jnp.pad(dyp, ((0, 0), (0, hp - hh), (0, wp - wh)))
-            imeta, fmeta, dims = prep_meta(xs, ys, layer_idx, scl_oct,
-                                           keep, hp, wp, hh, wh)
+            imeta, dims = prep_meta(xs, ys, layer_idx, scl_oct,
+                                    keep, hp, wp, hh, wh)
             angle, desc = ori_desc_windows(
                 dxp.astype(jnp.bfloat16), dyp.astype(jnp.bfloat16),
-                imeta, fmeta, dims)
+                imeta, dims)
         else:
             # bf16 gradient storage: sampling is gather-bandwidth bound and
             # the orientation/descriptor histograms are insensitive to the

@@ -72,21 +72,21 @@ class CorrespondenceFinder:
             if corr is None or len(corr) < self.config.min_matches_for_pair:
                 continue
             new_xy, other_xy = corr[:, :2], corr[:, 2:]
-            obs = recon.observations_of_camera(other)
-            if not obs:
+            obs_pid, obs_uv = recon.camera_obs_arrays(other)
+            if len(obs_pid) == 0:
                 continue
-            obs_uv = np.stack([uv for _, uv in obs])
-            obs_pid = np.array([p for p, _ in obs])
             d = np.linalg.norm(other_xy[:, None] - obs_uv[None], axis=2)
             j = d.argmin(axis=1)
             hit = d[np.arange(len(corr)), j] <= tol
-            for i in np.where(hit)[0]:
-                pid = int(obs_pid[j[i]])
-                if pid in seen:
-                    continue
-                seen.add(pid)
-                uv_out.append(new_xy[i])
-                pid_out.append(pid)
+            hi = np.where(hit)[0]
+            cand = obs_pid[j[hi]].astype(int)
+            first = np.unique(cand, return_index=True)[1]
+            for k in np.sort(first):
+                pid = int(cand[k])
+                if pid not in seen:
+                    seen.add(pid)
+                    uv_out.append(new_xy[hi[k]])
+                    pid_out.append(pid)
         if not uv_out:
             return np.zeros((0, 2)), np.zeros(0, int)
         return np.stack(uv_out), np.asarray(pid_out, int)

@@ -60,6 +60,104 @@ def _baseline_score(inlier_ratio: float, median_disp: float,
     return max(0.0, 1.0 - (rel - 0.4))
 
 
+def normalize_match_scores(raw_scores, score_type: str,
+                           method: str = "") -> float:
+    """Score-type-aware match-confidence normalization
+    (pair_selector.py:1110-1360): distances invert against a per-method
+    ceiling (SIFT-family 512, Hamming by descriptor bit width), confidence
+    scores pass through, similarities shift from [-1, 1] — so a pair's
+    confidence component compares across matcher families instead of
+    treating raw distances as confidences. Returns mean quality in [0, 1]
+    (0.5 neutral when no scores)."""
+    if raw_scores is None or len(raw_scores) == 0:
+        return 0.5
+    s = np.asarray(raw_scores, np.float64)
+    m = (method or "").lower()
+    if score_type == "distance":
+        if "sift" in m:
+            ceil = 512.0          # our SIFT descriptors renorm to 512
+        elif "orb" in m or "brisk" in m:
+            ceil = 256.0          # 256-bit Hamming
+        elif "akaze" in m:
+            ceil = 488.0          # M-LDB bits
+        else:
+            ceil = float(np.percentile(s, 95)) + 1e-6
+        norm = 1.0 - np.clip(s / ceil, 0.0, 1.0)
+    elif score_type == "confidence":
+        norm = np.clip(s, 0.0, 1.0)
+    elif score_type == "similarity":
+        norm = (np.clip(s, -1.0, 1.0) + 1.0) / 2.0 if s.min() < 0 \
+            else np.clip(s, 0.0, 1.0)
+    else:
+        return 0.5
+    return float(norm.mean())
+
+
+def validate_correspondences(pts1: np.ndarray, pts2: np.ndarray,
+                             image_size: Tuple[int, int],
+                             min_points: int = 30) -> Dict:
+    """Standalone correspondence-validation gate for two-view estimation
+    (reference essential_estimation.py:276-381): point count, spatial
+    coverage (std-area fraction per image), and baseline displacement,
+    combined into a quality level. `valid` goes False only on structural
+    problems (length mismatch / too few points); coverage and baseline
+    issues surface as warnings + a degraded quality level."""
+    out = {"valid": True, "quality_level": "unknown", "warnings": [],
+           "errors": [], "statistics": {}}
+    pts1 = np.asarray(pts1, np.float64).reshape(-1, 2)
+    pts2 = np.asarray(pts2, np.float64).reshape(-1, 2)
+    if len(pts1) != len(pts2):
+        out["errors"].append("mismatched point array lengths")
+        out["valid"] = False
+        return out
+    w, h = image_size
+    n = len(pts1)
+    if n < min_points:
+        out["errors"].append(f"insufficient points: {n} < {min_points}")
+        out["valid"] = False
+
+    cov1 = cov2 = 0.0
+    disp_mean = 0.0
+    if n >= 2:
+        s1 = pts1.std(axis=0)
+        s2 = pts2.std(axis=0)
+        cov1 = float(s1[0] * s1[1] / max(w * h, 1))
+        cov2 = float(s2[0] * s2[1] / max(w * h, 1))
+        if cov1 < 0.02:
+            out["warnings"].append(
+                f"limited coverage in first image ({cov1:.1%})")
+        if cov2 < 0.02:
+            out["warnings"].append(
+                f"limited coverage in second image ({cov2:.1%})")
+        disp = np.linalg.norm(pts2 - pts1, axis=1)
+        disp_mean = float(disp.mean())
+        if disp_mean < 8.0:
+            out["warnings"].append(
+                f"small baseline ({disp_mean:.1f}px)")
+        if disp_mean > min(w, h) * 0.4:
+            out["warnings"].append(
+                f"large baseline ({disp_mean:.1f}px)")
+
+    factors = []
+    if n >= min_points * 1.5:
+        factors.append("sufficient_points")
+    if cov1 > 0.05 and cov2 > 0.05:
+        factors.append("good_coverage")
+    if 10.0 <= disp_mean <= min(w, h) * 0.25:
+        factors.append("adequate_baseline")
+    q = len(factors) / 3.0
+    out["quality_level"] = ("excellent" if q >= 0.8 else
+                            "good" if q >= 0.6 else
+                            "fair" if q >= 0.4 else "poor")
+    out["statistics"] = {
+        "num_correspondences": n,
+        "coverage_ratio_1": cov1, "coverage_ratio_2": cov2,
+        "mean_displacement": disp_mean,
+        "quality_score": q, "quality_factors": factors,
+    }
+    return out
+
+
 def _pair_cap(n: int) -> int:
     """Coarse capacity bucket: each distinct correspondence count would
     otherwise trace+compile its own F-RANSAC program (seconds per shape
@@ -151,7 +249,15 @@ class InitializationPairSelector:
             if image_info and pair[0] in image_info:
                 info = image_info[pair[0]]
                 size = (info.get("width", 640), info.get("height", 480))
-            conf = pd.get("quality_score")
+            # confidence: score-type-aware normalization of the raw
+            # per-match scores when the matching stage shipped them;
+            # quality_score / inlier-ratio fallback otherwise
+            ms = pd.get("match_scores")
+            if ms is not None and len(ms) and pd.get("score_type"):
+                conf = normalize_match_scores(
+                    ms, pd["score_type"], pd.get("method", ""))
+            else:
+                conf = pd.get("quality_score")
             entries.append((i, pair, corr, size, conf))
 
         geom: Dict = {}
@@ -207,20 +313,72 @@ class InitializationPairSelector:
 
     def rank_next_views(self, remaining: List[str],
                         processed: List[str],
-                        matches_data: Dict) -> List[Tuple[str, float]]:
-        """Connectivity-scored next-camera ordering
-        (pair_selector.py:323-420, CPE/pipeline.py:1723-1984)."""
-        out = []
+                        matches_data: Dict,
+                        recon=None) -> List[Tuple[str, float]]:
+        """Next-camera ordering (pair_selector.py:323-420,
+        CPE/pipeline.py:1723-1984).
+
+        With `recon` (the growing Reconstruction): candidates are scored
+        by 2D-3D visibility against the EXISTING cloud — 0.5 x
+        correspondence potential (min(matches, registered camera's
+        observation count), the matches that can actually become PnP
+        constraints) + 0.3 x match quality + 0.2 x geometric spread,
+        the reference's _score_candidate_image weights. Without `recon`:
+        match-count connectivity only (legacy fallback). A well-connected
+        image whose registered neighbours carry few triangulated points
+        ranks lower than the 3D-aware choice (VERDICT r2 #4)."""
         proc = set(processed)
+        if recon is None:
+            out = []
+            for img in remaining:
+                total = 0.0
+                links = 0
+                for pair, pd in matches_data.items():
+                    if "error" in pd:
+                        continue
+                    if img in pair and (set(pair) - {img}) & proc:
+                        n = pd.get("num_matches", 0)
+                        total += min(n / self.config.target_matches, 1.0)
+                        links += 1
+                out.append((img, total * (1 + 0.1 * links)))
+            return sorted(out, key=lambda kv: -kv[1])
+
+        obs_count = {c: len(recon.camera_obs_arrays(c)[0])
+                     for c in proc if c in recon.cameras}
+        out = []
         for img in remaining:
-            total = 0.0
-            links = 0
+            potential = 0.0
+            quality, spread, links = [], [], 0
             for pair, pd in matches_data.items():
-                if "error" in pd:
+                if "error" in pd or img not in pair:
                     continue
-                if img in pair and (set(pair) - {img}) & proc:
-                    n = pd.get("num_matches", 0)
-                    total += min(n / self.config.target_matches, 1.0)
-                    links += 1
-            out.append((img, total * (1 + 0.1 * links)))
+                other = pair[0] if pair[1] == img else pair[1]
+                if other not in obs_count:
+                    continue
+                n = pd.get("num_matches",
+                           len(pd.get("correspondences", [])))
+                links += 1
+                # matches that can become 2D-3D constraints are bounded
+                # by the registered camera's triangulated observations
+                potential += min(n, obs_count[other]) * 0.3
+                ms = pd.get("match_scores")
+                if ms is not None and len(ms) and pd.get("score_type"):
+                    quality.append(normalize_match_scores(
+                        ms, pd["score_type"], pd.get("method", "")))
+                else:
+                    quality.append(pd.get("quality_score", 0.7) or 0.7)
+                corr = np.asarray(pd.get("correspondences", []))
+                if len(corr) >= 4:
+                    cand_xy = corr[:, :2] if pair[0] == img else corr[:, 2:]
+                    sd = cand_xy.std(axis=0)
+                    spread.append(min(1.0, float(sd[0] + sd[1]) / 400.0))
+                else:
+                    spread.append(0.3)
+            if links == 0:
+                out.append((img, 0.0))
+                continue
+            s_pot = min(1.0, potential / 50.0)
+            s_q = float(np.mean(quality)) if quality else 0.5
+            s_g = float(np.mean(spread)) if spread else 0.0
+            out.append((img, 0.5 * s_pot + 0.3 * s_q + 0.2 * s_g))
         return sorted(out, key=lambda kv: -kv[1])
