@@ -116,6 +116,12 @@ def detect_aliked_features(img, max_features: int = 2048, **_unused) -> Features
         raise ImportError(
             f"aliked weights not available ({WEIGHTS_DIR}/aliked.npz)")
     data = np.load(WEIGHTS_DIR / "aliked.npz", allow_pickle=True)
+    if "format" in data and str(data["format"][0]) == "aliked-n16":
+        # real-architecture checkpoint (models/aliked_n16.py converter)
+        from tpu3drec.models.aliked_n16 import ALIKEDN16
+        al16 = ALIKEDN16(max_features=max_features)
+        al16.params = jax.tree.map(jnp.asarray, data["params"].item())
+        return al16.extract(jnp.asarray(img))
     al = ALIKED(max_features=max_features)
     al.params = jax.tree.map(jnp.asarray, data["params"].item())
     return al.extract(jnp.asarray(img))
