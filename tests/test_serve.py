@@ -99,3 +99,43 @@ def test_detect_and_errors(server):
     code, h = _get(server + "/health")
     assert h["stats"]["requests"] >= 3 and h["stats"]["errors"] >= 1
     assert h["compiled"] is True
+
+
+def test_concurrent_requests_microbatch(server):
+    """Concurrent /match requests coalesce into one vmapped dispatch
+    (MicroBatcher): fire several in parallel with a widened window and
+    assert the server reports a batched dispatch covering them."""
+    import tpu3drec.serve as serve_mod
+    # reach into the live server via the module-scope fixture's port is
+    # not possible; use a dedicated server with a big window instead
+    ms = serve_mod.MatchServer(shape=(120, 160), max_features=256,
+                               batch_window_s=0.6, max_batch=8)
+    httpd = ms.start(host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        img = _scene(5)
+        warped = _scene(5, shift=2)
+        body = {"image1": img.tolist(), "image2": warped.tolist(),
+                "method": "SIFT"}
+        results = [None] * 4
+        def worker(i):
+            results[i] = _post(base + "/match", body)
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None and r[0] == 200 for r in results)
+        outs = [r[1] for r in results]
+        assert all(o["num_matches"] > 5 for o in outs)
+        assert max(o["batched_with"] for o in outs) >= 2
+        code, h = _get(base + "/health")
+        assert h["batching"]["enabled"]
+        assert h["batching"]["max_batch"] >= 2
+        assert h["batching"]["batched_requests"] >= 4
+    finally:
+        httpd.shutdown()

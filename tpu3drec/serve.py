@@ -64,12 +64,144 @@ def _decode_image(payload, shape: Tuple[int, int]) -> np.ndarray:
     return img
 
 
+class MicroBatcher:
+    """Coalesces concurrent /match requests into ONE vmapped dispatch.
+
+    Single-chip serving throughput comes from batching, not stream
+    interleaving (the chip serializes streams anyway): the first request
+    of a window becomes the leader, sleeps `window_s` while peers
+    enqueue, then runs the whole group through one jitted vmapped
+    detect+match+RANSAC program at a power-of-two capacity bucket
+    (padded with the last item; per-request ratio/threshold ride as
+    traced per-item scalars, so mixed parameters share one program).
+    The batched path measured 132+ pairs/s vs ~9 pairs/s serial
+    dispatch on the same chip (bench.py) — this is that shape, online.
+    """
+
+    def __init__(self, shape: Tuple[int, int], max_features: int,
+                 tpu_lock: threading.Lock, max_batch: int = 8,
+                 window_s: float = 0.005):
+        self.shape = shape
+        self.max_features = max_features
+        self.tpu_lock = tpu_lock
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self._mutex = threading.Lock()
+        self._pending: list = []
+        self._progs: Dict[int, object] = {}
+        self.stats = {"dispatches": 0, "batched_requests": 0,
+                      "max_batch": 0}
+
+    def _program(self, b: int):
+        if b not in self._progs:
+            import jax
+            import jax.numpy as jnp
+            from tpu3drec.ops.sift import detect_and_compute
+            from tpu3drec.ops.match import knn2
+            from tpu3drec.ops.geometry import (
+                find_homography, reprojection_error_homography,
+            )
+            mf = self.max_features
+
+            def pair(img1, img2, ratio, thr, key):
+                xy1, r1, s1, a1, d1, m1 = detect_and_compute(img1, mf)
+                xy2, r2, s2, a2, d2, m2 = detect_and_compute(img2, mf)
+                nn_idx, nn_dist = knn2(d1, d2, m1, m2, metric="l2_int8")
+                ok = (nn_dist[:, 0] <
+                      ratio * jnp.maximum(nn_dist[:, 1], 1e-12)) & m1
+                p1, p2 = xy1, xy2[nn_idx[:, 0]]
+                rr = find_homography(p1, p2, mask=ok, threshold=thr,
+                                     num_hypotheses=256, key=key)
+                err = reprojection_error_homography(rr.model, p1, p2,
+                                                    rr.inliers)
+                return {"raw": jnp.sum(ok.astype(jnp.int32)),
+                        "inl": rr.num_inliers,
+                        "ratio": rr.inlier_ratio,
+                        "success": rr.success, "H": rr.model,
+                        "err": err}
+
+            self._progs[b] = jax.jit(jax.vmap(pair))
+        return self._progs[b]
+
+    def _run_batch(self, batch: list) -> None:
+        import jax
+        import jax.numpy as jnp
+        n = len(batch)
+        b = 1
+        while b < n:
+            b *= 2
+        b = min(b, max(self.max_batch, 1))
+        pad = batch + [batch[-1]] * (b - n)
+        i1 = jnp.asarray(np.stack([it["img1"] for it in pad]))
+        i2 = jnp.asarray(np.stack([it["img2"] for it in pad]))
+        ratios = jnp.asarray([it["ratio"] for it in pad], jnp.float32)
+        thrs = jnp.asarray([it["thr"] for it in pad], jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+        with self.tpu_lock:
+            out = self._program(b)(i1, i2, ratios, thrs, keys)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        with self._mutex:
+            self.stats["dispatches"] += 1
+            self.stats["batched_requests"] += n
+            self.stats["max_batch"] = max(self.stats["max_batch"], n)
+        for j, it in enumerate(batch):
+            ok = bool(out["success"][j])
+            raw = int(out["raw"][j])
+            inl = int(out["inl"][j]) if ok else raw
+            ir = float(out["ratio"][j]) if ok else None
+            err = float(out["err"][j]) if ok else None
+            q = min(inl / 500.0, 1.0) * 0.4
+            if ir is not None:
+                q += ir * 0.4
+            if err is not None:
+                q += max(0.0, 1.0 - err / 10.0) * 0.2
+            it["result"] = {
+                "num_matches": inl,
+                "num_raw_matches": raw,
+                "inlier_ratio": ir,
+                "reprojection_error": err,
+                "quality_score": q,
+                "homography": (out["H"][j].tolist() if ok else None),
+                "batched_with": n,
+            }
+            it["event"].set()
+
+    def submit(self, img1: np.ndarray, img2: np.ndarray,
+               ratio: float, threshold: float) -> Dict:
+        item = {"img1": img1, "img2": img2, "ratio": ratio,
+                "thr": threshold, "event": threading.Event(),
+                "result": None}
+        with self._mutex:
+            self._pending.append(item)
+            leader = len(self._pending) == 1
+        if not leader:
+            # a later arrival past max_batch elects itself leader of the
+            # NEXT window via the pending-queue length check above
+            if not item["event"].wait(timeout=600):
+                raise TimeoutError("batched match timed out")
+            return item["result"]
+        time.sleep(self.window_s)
+        while True:
+            with self._mutex:
+                batch = self._pending[: self.max_batch]
+                self._pending = self._pending[self.max_batch:]
+            if not batch:
+                break
+            self._run_batch(batch)
+            if item["result"] is not None and not self._pending:
+                break
+        return item["result"]
+
+
 class MatchServer:
     """Serving wrapper: owns the lock, the canonical shape, and stats."""
 
     def __init__(self, shape: Tuple[int, int] = DEFAULT_SHAPE,
                  max_features: int = 1024,
-                 max_body_bytes: int = 64 << 20):
+                 max_body_bytes: int = 64 << 20,
+                 enable_batching: bool = True,
+                 batch_window_s: float = 0.005,
+                 max_batch: int = 8):
         self.shape = tuple(shape)
         self.max_features = max_features
         self.max_body_bytes = max_body_bytes
@@ -77,6 +209,10 @@ class MatchServer:
         self.stats_lock = threading.Lock()    # shared stats/compiled flag
         self.stats = {"requests": 0, "errors": 0, "total_s": 0.0}
         self.compiled = False
+        self.enable_batching = enable_batching
+        self.batcher = MicroBatcher(self.shape, max_features, self.lock,
+                                    max_batch=max_batch,
+                                    window_s=batch_window_s)
 
     def _count(self, key: str, dt: float = 0.0) -> None:
         """Thread-safe stats update (handler threads are concurrent)."""
@@ -92,9 +228,12 @@ class MatchServer:
         import jax
         with self.stats_lock:
             compiled, stats = self.compiled, dict(self.stats)
+        with self.batcher._mutex:
+            bstats = dict(self.batcher.stats)
         return {"status": "ok", "backend": jax.default_backend(),
                 "canonical_shape": list(self.shape),
-                "compiled": compiled, "stats": stats}
+                "compiled": compiled, "stats": stats,
+                "batching": {"enabled": self.enable_batching, **bstats}}
 
     def methods(self) -> Dict:
         from tpu3drec.api import _get_detector_registry
@@ -107,6 +246,14 @@ class MatchServer:
         method = body.get("method", "SIFT")
         mf = int(body.get("max_features", self.max_features))
         t0 = time.perf_counter()
+        if (self.enable_batching and method == "SIFT"
+                and mf == self.max_features):
+            out = self.batcher.submit(
+                img1, img2, float(body.get("ratio", 0.75)),
+                float(body.get("ransac_threshold", 4.0)))
+            out = {"method": method, **out,
+                   "latency_s": round(time.perf_counter() - t0, 4)}
+            return out
         with self.lock:
             r = match_images(img1, img2, method=method, max_features=mf,
                              ratio=float(body.get("ratio", 0.75)))
