@@ -156,3 +156,34 @@ def test_lie_numpy_twins_roundtrip():
     # parity vs the jax exp map
     Rj = np.asarray(exp_so3(jnp.asarray(ws[4], jnp.float32)))
     np.testing.assert_allclose(Rs[4], Rj, atol=1e-5)
+
+
+def test_sample_minimal_sets_distinct_valid_uniform():
+    """Floyd's-over-ranks sampler: distinct indices, valid-only, and
+    per-point selection frequency uniform across the valid set."""
+    from tpu3drec.ops.ransac import sample_minimal_sets
+
+    n, s, k = 64, 5, 4000
+    mask = np.zeros(n, bool)
+    valid = np.arange(7, 43)          # 36 valid points, non-contiguous start
+    mask[valid] = True
+    idx = np.asarray(sample_minimal_sets(
+        jax.random.PRNGKey(0), jnp.asarray(mask), k, s))
+    assert idx.shape == (k, s)
+    # distinct within each hypothesis
+    assert all(len(set(row)) == s for row in idx)
+    # valid-only
+    assert mask[idx].all()
+    # roughly uniform marginal frequency: each valid point expected
+    # k*s/36 ~= 555 times; chi-square-ish band check
+    counts = np.bincount(idx.reshape(-1), minlength=n)[valid]
+    exp = k * s / len(valid)
+    assert counts.min() > 0.8 * exp and counts.max() < 1.2 * exp
+
+    # degenerate: fewer valid points than sample_size still returns
+    # in-range indices (degenerate models are rejected by scoring)
+    mask2 = np.zeros(n, bool)
+    mask2[[3, 9]] = True
+    idx2 = np.asarray(sample_minimal_sets(
+        jax.random.PRNGKey(1), jnp.asarray(mask2), 16, 5))
+    assert ((idx2 >= 0) & (idx2 < n)).all()

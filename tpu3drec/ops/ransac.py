@@ -12,9 +12,12 @@ K is chosen from the classical RANSAC iteration formula at the worst expected
 inlier ratio, so the probabilistic guarantee matches the reference's
 (conf=0.999, 5000 iters, essential_estimation.py:6-20).
 
-Distinct valid-only minimal samples are drawn with the Gumbel top-k trick:
-per-hypothesis i.i.d. gumbel noise + log(mask), take top-s indices — gives s
-distinct indices among valid points, uniformly, with no rejection loop.
+Distinct valid-only minimal samples are drawn with Floyd's sampling
+algorithm over valid *ranks* (exactly uniform, no rejection loop), then
+ranks map to point indices through cumsum(mask) + searchsorted. This
+replaces the earlier Gumbel top-k draw: identical distribution, but
+(K, s) random draws instead of a (K, N) gumbel field and lax.top_k —
+the top_k over (K, 2048) alone cost ~25 ms per 64-pair batch on v5e.
 """
 
 from __future__ import annotations
@@ -37,12 +40,33 @@ class RansacResult(NamedTuple):
 
 def sample_minimal_sets(key: jax.Array, mask: jnp.ndarray,
                         num_hypotheses: int, sample_size: int) -> jnp.ndarray:
-    """(K, s) distinct indices of valid points, uniform via Gumbel top-k."""
-    n = mask.shape[0]
-    g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
-    g = jnp.where(mask[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, sample_size)
-    return idx
+    """(K, s) distinct indices of valid points, exactly uniform.
+
+    Floyd's algorithm draws s distinct ranks in [0, n_valid) with s
+    i.i.d. integers per hypothesis (collision j is replaced by the
+    never-yet-drawable rank n_valid - s + j); ranks then map to point
+    indices through the mask cumsum with an all-compare searchsorted
+    (binary-search 'scan' is a serial while-loop of gathers on TPU).
+    If fewer than sample_size points are valid, out-of-range ranks land
+    on masked points and the resulting degenerate models are rejected
+    by the caller's scoring (same behaviour as the old gumbel draw).
+    """
+    s = sample_size
+    nv = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), s)
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    u = jax.random.randint(key, (num_hypotheses, s), 0,
+                           jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    ranks = []
+    for j in range(s):
+        t = u[:, j] % (nv - s + 1 + j)
+        for r in ranks:
+            t = jnp.where(t == r, nv - s + j, t)
+        ranks.append(t)
+    ranks = jnp.stack(ranks, axis=1)  # (K, s)
+    idx = jnp.searchsorted(csum, ranks.reshape(-1) + 1, side="left",
+                           method="compare_all")
+    return jnp.minimum(idx, mask.shape[0] - 1).reshape(
+        num_hypotheses, s).astype(jnp.int32)
 
 
 @functools.partial(
