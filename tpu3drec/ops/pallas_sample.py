@@ -205,6 +205,8 @@ def oracle_ori_desc(dx_img: np.ndarray, dy_img: np.ndarray,
 
 _STAGES = "all"  # trace-time knob for perf bisection: all|ori|desc|dma
 _DMA_MODE = "dyn"  # dyn | static (fixed origin) | none (skip DMA)
+GROUP = 8  # keypoints per grid step — amortizes the ~0.7 us/step grid
+           # overhead that dominated at realistic ~13% slot validity
 
 
 def frac_bits(hp: int, wp: int) -> int:
@@ -246,14 +248,12 @@ def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref, dcb_ref,
     # re-derived in-kernel from the fixed-point (x, y) — scalar ALU is
     # free next to the DMA it gates. `fb` is the static per-shape-bucket
     # fraction-bit count (frac_bits).
-    k = pl.program_id(0)
-    nk = pl.num_programs(0)
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
     _, hp, wp = dxs_ref.shape
     half = 1 << (fb - 1)
     inv_scale = 1.0 / (1 << fb)
-    meta0 = imeta_ref[2 * k + 0]
-    valid = meta0 & 0xFFFF         # lv sentinel: layer+1 if valid else 0
-    slot = jax.lax.rem(k, 2)
+    slot = jax.lax.rem(g, 2)
 
     def _coords(j):
         """(xq, yq) 1/2**fb-px fixed-point coords of keypoint j."""
@@ -273,8 +273,8 @@ def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref, dcb_ref,
             jnp.clip(((ryi_j - 44) // 8) * 8, 0, hp - WIN_H), 8)
         return x0j, y0j
 
-    def _dma_pair(j, s):
-        """The two window copies for keypoint j into buffer slot s."""
+    def _dma_pair(j, s, u):
+        """The two window copies for keypoint j into slot s, lane u."""
         if _DMA_MODE == "static":
             layj = 0
             y0j = 0
@@ -284,234 +284,246 @@ def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref, dcb_ref,
             layj = (imeta_ref[2 * j] & 0xFFFF) - 1
         src = (dxs_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)],
                dys_ref.at[layj, pl.ds(y0j, WIN_H), pl.ds(x0j, WIN_W)])
-        return [pltpu.make_async_copy(src[ch], win_ref.at[s, ch],
-                                      sem_ref.at[s, ch])
+        return [pltpu.make_async_copy(src[ch], win_ref.at[s, u, ch],
+                                      sem_ref.at[s, u, ch])
                 for ch in (0, 1)]
 
     if _DMA_MODE != "none":
-        # double buffering: program k-1 already started slot k%2 for
-        # keypoint k; we start slot (k+1)%2 for keypoint k+1 before
-        # computing, so the next window streams in under our compute.
-        @pl.when((k == 0) & (valid > 0))
+        # double buffering at GROUP granularity: step g-1 already
+        # started slot g%2 for this group; we start slot (g+1)%2 for
+        # group g+1 before computing, so the next GROUP windows stream
+        # in under our compute. Nested pl.when guards keep every SMEM
+        # read in-bounds (ADVICE r2: traced & has no short-circuit).
+        @pl.when(g == 0)
         def _():
-            for cp in _dma_pair(k, slot):
-                cp.start()
+            for u0 in range(GROUP):
+                @pl.when((imeta_ref[2 * u0] & 0xFFFF) > 0)
+                def _(u0=u0):
+                    for cp in _dma_pair(u0, 0, u0):
+                        cp.start()
 
-        # clamp the lookahead: traced `&` has no short-circuit, so the
-        # SMEM read in the condition must be in-bounds even when
-        # k + 1 == nk (ADVICE r2); pl.when still gates the semantics
-        look = jnp.minimum(2 * (k + 1), 2 * nk - 2)
-
-        @pl.when((k + 1 < nk) & (imeta_ref[look] > 0))
+        @pl.when(g + 1 < ng)
         def _():
-            for cp in _dma_pair(k + 1, jax.lax.rem(k + 1, 2)):
-                cp.start()
+            s_nxt = jax.lax.rem(g + 1, 2)
+            for u0 in range(GROUP):
+                idx = (g + 1) * GROUP + u0
+                look = jnp.minimum(2 * idx, 2 * ng * GROUP - 2)
+
+                @pl.when(imeta_ref[look] > 0)
+                def _(u0=u0, idx=idx):
+                    for cp in _dma_pair(idx, s_nxt, u0):
+                        cp.start()
 
     angle_ref[...] = jnp.zeros_like(angle_ref)
     desc_ref[...] = jnp.zeros_like(desc_ref)
 
-    @pl.when(valid > 0)
-    def _():
-        x0, y0 = _origin(k)
-        xq, yq = _coords(k)
-        x = xq.astype(jnp.float32) * inv_scale
-        y = yq.astype(jnp.float32) * inv_scale
-        scl = ((meta0 >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 1024.0)
-        w_real = dims_ref[0]
-        h_real = dims_ref[1]
 
-        if _DMA_MODE != "none":
-            for cp in _dma_pair(k, slot):
-                cp.wait()
+    for u in range(GROUP):
+        k = g * GROUP + u          # keypoint index; in-bounds (K padded)
+        meta0 = imeta_ref[2 * k]
+        valid = meta0 & 0xFFFF
 
-        # same fixed-point rounding as _origin (jnp.round's half-even
-        # could disagree by 1 at exact half-pixels)
-        rxi_i = (xq + half) >> fb
-        ryi_i = (yq + half) >> fb
-        rxi = rxi_i.astype(jnp.float32)
-        ryi = ryi_i.astype(jnp.float32)
-        # keypoint offset inside the DMA window
-        xoff = rxi_i - x0
-        yoff = ryi_i - y0
-        # 8-quantized so the dynamic VMEM row read is provably aligned
-        row0 = pl.multiple_of(
-            jnp.clip(((yoff - 40) // 8) * 8, 0, WIN_H - CORE_H), 8)
-        lshift = xoff - 64  # lanes to rotate left
+        @pl.when(valid > 0)
+        def _(u=u, k=k, meta0=meta0):
+            x0, y0 = _origin(k)
+            xq, yq = _coords(k)
+            x = xq.astype(jnp.float32) * inv_scale
+            y = yq.astype(jnp.float32) * inv_scale
+            scl = ((meta0 >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 1024.0)
+            w_real = dims_ref[0]
+            h_real = dims_ref[1]
 
-        def center(ch):
-            rows = win_ref[slot, ch, pl.ds(row0, CORE_H), :]  # (88, 256)
-            # dynamic rotate is 32-bit only: widen before rolling
-            rolled = pltpu.roll(rows.astype(jnp.float32), -lshift, 1)
-            return rolled[:, :CORE_W]                         # (88, 128)
+            if _DMA_MODE != "none":
+                for cp in _dma_pair(k, slot, u):
+                    cp.wait()
 
-        dx = center(0)
-        dy = center(1)
+            # same fixed-point rounding as _origin (jnp.round's half-even
+            # could disagree by 1 at exact half-pixels)
+            rxi_i = (xq + half) >> fb
+            ryi_i = (yq + half) >> fb
+            rxi = rxi_i.astype(jnp.float32)
+            ryi = ryi_i.astype(jnp.float32)
+            # keypoint offset inside the DMA window
+            xoff = rxi_i - x0
+            yoff = ryi_i - y0
+            # 8-quantized so the dynamic VMEM row read is provably aligned
+            row0 = pl.multiple_of(
+                jnp.clip(((yoff - 40) // 8) * 8, 0, WIN_H - CORE_H), 8)
+            lshift = xoff - 64  # lanes to rotate left
 
-        ii = lax.broadcasted_iota(jnp.int32, (CORE_H, CORE_W), 0)
-        jj = lax.broadcasted_iota(jnp.int32, (CORE_H, CORE_W), 1)
-        # absolute original-image coords; when the window origin was
-        # clipped at an image edge the keypoint is NOT at (40, 64), so
-        # every coordinate derives from y0+row0 / the roll, and masks
-        # cover clipping, lane wrap and zero padding alike
-        pxi = rxi.astype(jnp.int32) + (jj - 64)
-        pyi = y0 + row0 + ii
-        inside = ((pxi >= 0) & (pxi.astype(jnp.float32) < w_real)
-                  & (pyi >= 0) & (pyi.astype(jnp.float32) < h_real))
-        rx = pxi.astype(jnp.float32) - x
-        ry = pyi.astype(jnp.float32) - y
-
-        mag = jnp.sqrt(dx * dx + dy * dy) * inside.astype(jnp.float32)
-        theta = _atan2_poly(dy, dx)
-
-        # ---- orientation histogram: its own keypoint-centred band read
-        # (a static slice of the core would miss edge-clipped keypoints)
-        if _STAGES == "dma":
-            angle_ref[...] = jnp.full((1, 1, 128), jnp.sum(dx) + jnp.sum(dy),
-                                      jnp.float32)
-            return
-        if _STAGES == "desc":
-            angle = jnp.float32(0.3)
-        else:
-            row0b = pl.multiple_of(
-                jnp.clip(((yoff - ORI_H // 2) // 8) * 8, 0, WIN_H - ORI_H), 8)
-
-            def center_band(ch):
-                rows = win_ref[slot, ch, pl.ds(row0b, ORI_H), :]
+            def center(ch):
+                rows = win_ref[slot, u, ch, pl.ds(row0, CORE_H), :]  # (88, 256)
+                # dynamic rotate is 32-bit only: widen before rolling
                 rolled = pltpu.roll(rows.astype(jnp.float32), -lshift, 1)
-                return rolled[:, :CORE_W]
+                return rolled[:, :CORE_W]                         # (88, 128)
 
-            bdx = center_band(0)
-            bdy = center_band(1)
-            iib = lax.broadcasted_iota(jnp.int32, (ORI_H, CORE_W), 0)
-            jjb = lax.broadcasted_iota(jnp.int32, (ORI_H, CORE_W), 1)
-            pxb = rxi.astype(jnp.int32) + (jjb - 64)
-            pyb = y0 + row0b + iib
-            insideb = ((pxb >= 0) & (pxb.astype(jnp.float32) < w_real)
-                       & (pyb >= 0) & (pyb.astype(jnp.float32) < h_real))
-            magb = jnp.sqrt(bdx * bdx + bdy * bdy) * insideb.astype(jnp.float32)
-            thetab = _atan2_poly(bdy, bdx)
+            dx = center(0)
+            dy = center(1)
 
-            inv_scl = 1.0 / scl
-            ub = (pxb.astype(jnp.float32) - x) * inv_scl
-            vb = (pyb.astype(jnp.float32) - y) * inv_scl
-            mb = ((jnp.abs(ub) <= ORI_RADIUS_FCTR)
-                  & (jnp.abs(vb) <= ORI_RADIUS_FCTR)).astype(jnp.float32)
-            wgt = jnp.exp(-(ub * ub + vb * vb)
-                          / (2.0 * ORI_SIG_FCTR ** 2)) * mb
-            binf = (thetab / (2 * math.pi) + 0.5) * ORI_BINS
-            b0f = jnp.floor(binf)
-            b0 = b0f.astype(jnp.int32) % ORI_BINS
-            frac = binf - b0f
-            w_all = magb * wgt
-            w_lo = w_all * (1.0 - frac)
-            w_hi = w_all * frac
-            b1 = (b0 + 1) % ORI_BINS
+            ii = lax.broadcasted_iota(jnp.int32, (CORE_H, CORE_W), 0)
+            jj = lax.broadcasted_iota(jnp.int32, (CORE_H, CORE_W), 1)
+            # absolute original-image coords; when the window origin was
+            # clipped at an image edge the keypoint is NOT at (40, 64), so
+            # every coordinate derives from y0+row0 / the roll, and masks
+            # cover clipping, lane wrap and zero padding alike
+            pxi = rxi.astype(jnp.int32) + (jj - 64)
+            pyi = y0 + row0 + ii
+            inside = ((pxi >= 0) & (pxi.astype(jnp.float32) < w_real)
+                      & (pyi >= 0) & (pyi.astype(jnp.float32) < h_real))
+            rx = pxi.astype(jnp.float32) - x
+            ry = pyi.astype(jnp.float32) - y
 
-            hist = []
-            for j in range(ORI_BINS):
-                hist.append(jnp.sum(jnp.where(b0 == j, w_lo, 0.0)
-                                    + jnp.where(b1 == j, w_hi, 0.0)))
+            mag = jnp.sqrt(dx * dx + dy * dy) * inside.astype(jnp.float32)
+            theta = _atan2_poly(dy, dx)
 
-            def smooth(hh):
-                n = ORI_BINS
-                return [(6 * hh[j] + 4 * (hh[(j - 1) % n] + hh[(j + 1) % n])
-                         + hh[(j - 2) % n] + hh[(j + 2) % n]) / 16.0
-                        for j in range(n)]
+            # ---- orientation histogram: its own keypoint-centred band read
+            # (a static slice of the core would miss edge-clipped keypoints)
+            if _STAGES == "dma":
+                angle_ref[u, :, :] = jnp.full((1, 128), jnp.sum(dx) + jnp.sum(dy), jnp.float32)
+                return
+            if _STAGES == "desc":
+                angle = jnp.float32(0.3)
+            else:
+                row0b = pl.multiple_of(
+                    jnp.clip(((yoff - ORI_H // 2) // 8) * 8, 0, WIN_H - ORI_H), 8)
 
-            hist = smooth(smooth(hist))
+                def center_band(ch):
+                    rows = win_ref[slot, u, ch, pl.ds(row0b, ORI_H), :]
+                    rolled = pltpu.roll(rows.astype(jnp.float32), -lshift, 1)
+                    return rolled[:, :CORE_W]
 
-            best = hist[0]
-            pk = jnp.int32(0)
-            for j in range(1, ORI_BINS):
-                take = hist[j] > best
-                best = jnp.where(take, hist[j], best)
-                pk = jnp.where(take, jnp.int32(j), pk)
-            hl = jnp.float32(0.0)
-            hc = jnp.float32(0.0)
-            hr = jnp.float32(0.0)
-            for j in range(ORI_BINS):
-                sel = pk == j
-                hl = jnp.where(sel, hist[(j - 1) % ORI_BINS], hl)
-                hc = jnp.where(sel, hist[j], hc)
-                hr = jnp.where(sel, hist[(j + 1) % ORI_BINS], hr)
-            denom = hl - 2 * hc + hr
-            safe = jnp.abs(denom) > 1e-12
-            dbin = jnp.where(safe,
-                             0.5 * (hl - hr) / jnp.where(safe, denom, 1.0), 0.0)
-            angle = (((pk.astype(jnp.float32) + dbin) % ORI_BINS) / ORI_BINS
-                     - 0.5) * 2 * math.pi
-        if _STAGES == "ori":
-            angle_ref[...] = jnp.full((1, 1, 128), angle, jnp.float32)
-            return
+                bdx = center_band(0)
+                bdy = center_band(1)
+                iib = lax.broadcasted_iota(jnp.int32, (ORI_H, CORE_W), 0)
+                jjb = lax.broadcasted_iota(jnp.int32, (ORI_H, CORE_W), 1)
+                pxb = rxi.astype(jnp.int32) + (jjb - 64)
+                pyb = y0 + row0b + iib
+                insideb = ((pxb >= 0) & (pxb.astype(jnp.float32) < w_real)
+                           & (pyb >= 0) & (pyb.astype(jnp.float32) < h_real))
+                magb = jnp.sqrt(bdx * bdx + bdy * bdy) * insideb.astype(jnp.float32)
+                thetab = _atan2_poly(bdy, bdx)
 
-        # ---- descriptor
-        ca = jnp.cos(angle)
-        sa = jnp.sin(angle)
-        inv_hw = 1.0 / (DESC_SCL_FCTR * scl)
-        ud = (ca * rx + sa * ry) * inv_hw
-        vd = (-sa * rx + ca * ry) * inv_hw
-        wd = jnp.exp(-(ud * ud + vd * vd) / (2 * (0.5 * DESC_D) ** 2))
-        okb = ((vd + 1.5 > -1) & (vd + 1.5 < DESC_D)
-               & (ud + 1.5 > -1) & (ud + 1.5 < DESC_D)).astype(jnp.float32)
-        trot = theta - angle
-        obin = (trot / (2 * math.pi) % 1.0) * DESC_B
-        magw = mag * wd * okb
+                inv_scl = 1.0 / scl
+                ub = (pxb.astype(jnp.float32) - x) * inv_scl
+                vb = (pyb.astype(jnp.float32) - y) * inv_scl
+                mb = ((jnp.abs(ub) <= ORI_RADIUS_FCTR)
+                      & (jnp.abs(vb) <= ORI_RADIUS_FCTR)).astype(jnp.float32)
+                wgt = jnp.exp(-(ub * ub + vb * vb)
+                              / (2.0 * ORI_SIG_FCTR ** 2)) * mb
+                binf = (thetab / (2 * math.pi) + 0.5) * ORI_BINS
+                b0f = jnp.floor(binf)
+                b0 = b0f.astype(jnp.int32) % ORI_BINS
+                frac = binf - b0f
+                w_all = magb * wgt
+                w_lo = w_all * (1.0 - frac)
+                w_hi = w_all * frac
+                b1 = (b0 + 1) % ORI_BINS
 
-        # 8 orientation channels, lane-packed from the start: tile the
-        # (88, 128) window 8x across lanes, one tent pass over (88, 1024)
-        # with the channel id derived from the lane group, then TWO
-        # matmuls box-downsample every channel at once — 2 MXU issues
-        # instead of 8 tent passes + 16 tiny matmuls (the desc stage was
-        # 60% of kernel time; op-issue count, not FLOPs, was the cost).
-        # Dr (CH, CORE_H) and the block-diagonal DcB (8*CORE_W, 8*CW)
-        # are iota-built 0/1 matrices.
-        ar = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 0)
-        br = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 1)
-        Dr = (br // CELL == ar).astype(jnp.float32)
-        WL = DESC_B * CORE_W
-        och = lax.broadcasted_iota(jnp.int32, (CORE_H, WL), 1) // CORE_W
-        obin_t = jnp.concatenate([obin] * DESC_B, axis=1)     # (88, 1024)
-        magw_t = jnp.concatenate([magw] * DESC_B, axis=1)
-        d = jnp.abs(obin_t - och.astype(jnp.float32))
-        tent = jnp.maximum(0.0, 1.0 - jnp.minimum(d, DESC_B - d))
-        X = magw_t * tent                                     # (88, 1024)
-        c1 = jnp.dot(Dr, X, preferred_element_type=jnp.float32)
-        packed = jnp.dot(c1, dcb_ref[...],
-                         preferred_element_type=jnp.float32)
+                hist = []
+                for j in range(ORI_BINS):
+                    hist.append(jnp.sum(jnp.where(b0 == j, w_lo, 0.0)
+                                        + jnp.where(b1 == j, w_hi, 0.0)))
 
-        # cell-centre spatial bins (same for every channel)
-        icc = lax.broadcasted_iota(jnp.int32, (CH, DESC_B * CW), 0) \
-            .astype(jnp.float32)
-        jcc = (lax.broadcasted_iota(jnp.int32, (CH, DESC_B * CW), 1)
-               % CW).astype(jnp.float32)
-        xbase = (rxi - 64.0)
-        ybase = (y0 + row0).astype(jnp.float32)
-        rx_c = (xbase + CELL * jcc + 0.5 * (CELL - 1)) - x
-        ry_c = (ybase + CELL * icc + 0.5 * (CELL - 1)) - y
-        ud_c = (ca * rx_c + sa * ry_c) * inv_hw
-        vd_c = (-sa * rx_c + ca * ry_c) * inv_hw
-        rbin = vd_c + (DESC_D / 2 - 0.5)
-        cbin = ud_c + (DESC_D / 2 - 0.5)
+                def smooth(hh):
+                    n = ORI_BINS
+                    return [(6 * hh[j] + 4 * (hh[(j - 1) % n] + hh[(j + 1) % n])
+                             + hh[(j - 2) % n] + hh[(j + 2) % n]) / 16.0
+                            for j in range(n)]
 
-        # segment matmul: (CH, 8*CW) @ (8*CW, 8) sums each channel's lanes
-        sc = lax.broadcasted_iota(jnp.int32, (DESC_B * CW, DESC_B), 0)
-        so = lax.broadcasted_iota(jnp.int32, (DESC_B * CW, DESC_B), 1)
-        Seg = (sc // CW == so).astype(jnp.float32)
+                hist = smooth(smooth(hist))
 
-        rows = []
-        for r in range(DESC_D):
-            tr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - r))
-            pr = packed * tr                                 # hoisted over c
-            for c in range(DESC_D):
-                tc = jnp.maximum(0.0, 1.0 - jnp.abs(cbin - c))
-                prod = pr * tc                               # (CH, 8*CW)
-                per_ch = jnp.dot(prod, Seg,
-                                 preferred_element_type=jnp.float32)
-                rows.append(jnp.sum(per_ch, axis=0, keepdims=True))  # (1,8)
-        raw = jnp.concatenate(rows, axis=0)                  # (16, 8)
+                best = hist[0]
+                pk = jnp.int32(0)
+                for j in range(1, ORI_BINS):
+                    take = hist[j] > best
+                    best = jnp.where(take, hist[j], best)
+                    pk = jnp.where(take, jnp.int32(j), pk)
+                hl = jnp.float32(0.0)
+                hc = jnp.float32(0.0)
+                hr = jnp.float32(0.0)
+                for j in range(ORI_BINS):
+                    sel = pk == j
+                    hl = jnp.where(sel, hist[(j - 1) % ORI_BINS], hl)
+                    hc = jnp.where(sel, hist[j], hc)
+                    hr = jnp.where(sel, hist[(j + 1) % ORI_BINS], hr)
+                denom = hl - 2 * hc + hr
+                safe = jnp.abs(denom) > 1e-12
+                dbin = jnp.where(safe,
+                                 0.5 * (hl - hr) / jnp.where(safe, denom, 1.0), 0.0)
+                angle = (((pk.astype(jnp.float32) + dbin) % ORI_BINS) / ORI_BINS
+                         - 0.5) * 2 * math.pi
+            if _STAGES == "ori":
+                angle_ref[u, :, :] = jnp.full((1, 128), angle, jnp.float32)
+                return
 
-        desc_ref[0, :, :DESC_B] = raw
-        angle_ref[...] = jnp.full((1, 1, 128), angle, jnp.float32)
+            # ---- descriptor
+            ca = jnp.cos(angle)
+            sa = jnp.sin(angle)
+            inv_hw = 1.0 / (DESC_SCL_FCTR * scl)
+            ud = (ca * rx + sa * ry) * inv_hw
+            vd = (-sa * rx + ca * ry) * inv_hw
+            wd = jnp.exp(-(ud * ud + vd * vd) / (2 * (0.5 * DESC_D) ** 2))
+            okb = ((vd + 1.5 > -1) & (vd + 1.5 < DESC_D)
+                   & (ud + 1.5 > -1) & (ud + 1.5 < DESC_D)).astype(jnp.float32)
+            trot = theta - angle
+            obin = (trot / (2 * math.pi) % 1.0) * DESC_B
+            magw = mag * wd * okb
+
+            # 8 orientation channels, lane-packed from the start: tile the
+            # (88, 128) window 8x across lanes, one tent pass over (88, 1024)
+            # with the channel id derived from the lane group, then TWO
+            # matmuls box-downsample every channel at once — 2 MXU issues
+            # instead of 8 tent passes + 16 tiny matmuls (the desc stage was
+            # 60% of kernel time; op-issue count, not FLOPs, was the cost).
+            # Dr (CH, CORE_H) and the block-diagonal DcB (8*CORE_W, 8*CW)
+            # are iota-built 0/1 matrices.
+            ar = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 0)
+            br = lax.broadcasted_iota(jnp.int32, (CH, CORE_H), 1)
+            Dr = (br // CELL == ar).astype(jnp.float32)
+            WL = DESC_B * CORE_W
+            och = lax.broadcasted_iota(jnp.int32, (CORE_H, WL), 1) // CORE_W
+            obin_t = jnp.concatenate([obin] * DESC_B, axis=1)     # (88, 1024)
+            magw_t = jnp.concatenate([magw] * DESC_B, axis=1)
+            d = jnp.abs(obin_t - och.astype(jnp.float32))
+            tent = jnp.maximum(0.0, 1.0 - jnp.minimum(d, DESC_B - d))
+            X = magw_t * tent                                     # (88, 1024)
+            c1 = jnp.dot(Dr, X, preferred_element_type=jnp.float32)
+            packed = jnp.dot(c1, dcb_ref[...],
+                             preferred_element_type=jnp.float32)
+
+            # cell-centre spatial bins (same for every channel)
+            icc = lax.broadcasted_iota(jnp.int32, (CH, DESC_B * CW), 0) \
+                .astype(jnp.float32)
+            jcc = (lax.broadcasted_iota(jnp.int32, (CH, DESC_B * CW), 1)
+                   % CW).astype(jnp.float32)
+            xbase = (rxi - 64.0)
+            ybase = (y0 + row0).astype(jnp.float32)
+            rx_c = (xbase + CELL * jcc + 0.5 * (CELL - 1)) - x
+            ry_c = (ybase + CELL * icc + 0.5 * (CELL - 1)) - y
+            ud_c = (ca * rx_c + sa * ry_c) * inv_hw
+            vd_c = (-sa * rx_c + ca * ry_c) * inv_hw
+            rbin = vd_c + (DESC_D / 2 - 0.5)
+            cbin = ud_c + (DESC_D / 2 - 0.5)
+
+            # segment matmul: (CH, 8*CW) @ (8*CW, 8) sums each channel's lanes
+            sc = lax.broadcasted_iota(jnp.int32, (DESC_B * CW, DESC_B), 0)
+            so = lax.broadcasted_iota(jnp.int32, (DESC_B * CW, DESC_B), 1)
+            Seg = (sc // CW == so).astype(jnp.float32)
+
+            rows = []
+            for r in range(DESC_D):
+                tr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - r))
+                pr = packed * tr                                 # hoisted over c
+                for c in range(DESC_D):
+                    tc = jnp.maximum(0.0, 1.0 - jnp.abs(cbin - c))
+                    prod = pr * tc                               # (CH, 8*CW)
+                    per_ch = jnp.dot(prod, Seg,
+                                     preferred_element_type=jnp.float32)
+                    rows.append(jnp.sum(per_ch, axis=0, keepdims=True))  # (1,8)
+            raw = jnp.concatenate(rows, axis=0)                  # (16, 8)
+
+            desc_ref[u, :, :DESC_B] = raw
+            angle_ref[u, :, :] = jnp.full((1, 128), angle, jnp.float32)
 
 
 @jax.custom_batching.custom_vmap
@@ -542,9 +554,18 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
     """
     interpret = jax.default_backend() != "tpu"
     K = imeta.shape[0]
+    # pad the keypoint axis to the group size: each grid step processes
+    # GROUP keypoints to amortize the ~0.7 us/step grid overhead
+    # (measured: empty steps over invalid candidate slots dominated the
+    # kernel's wall time at realistic ~13% validity)
+    Kg = (K + GROUP - 1) // GROUP * GROUP
+    imeta_flat = imeta.reshape(-1)
+    if Kg != K:
+        imeta_flat = jnp.concatenate(
+            [imeta_flat, jnp.zeros(2 * (Kg - K), imeta.dtype)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(K,),
+        grid=(Kg // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -554,15 +575,16 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((GROUP, 1, 128), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, 128), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((GROUP, 16, 128), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            # (slot, channel, rows, lanes): double-buffered windows
-            pltpu.VMEM((2, 2, WIN_H, WIN_W), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            # (slot, kpt-in-group, channel, rows, lanes): double-buffered
+            # window groups
+            pltpu.VMEM((2, GROUP, 2, WIN_H, WIN_W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
     _, hp_s, wp_s = dxs.shape
@@ -570,11 +592,13 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
         functools.partial(_ori_desc_kernel, frac_bits(hp_s, wp_s)),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((K, 1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((K, 16, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Kg, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Kg, 16, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(imeta.reshape(-1), dims, dxs, dys, jnp.asarray(_DCB_NP))
+    )(imeta_flat, dims, dxs, dys, jnp.asarray(_DCB_NP))
+    angle = angle[:K]
+    raw = raw[:K]
     desc = raw[:, :, :DESC_B].reshape(K, 128)  # (rc major, o minor)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
