@@ -505,9 +505,17 @@ def detect_and_compute(img: jnp.ndarray, max_features: int = 2048,
     # budgets shrink with octave count) — keep the static-shape contract by
     # top-k'ing what exists and padding to capacity with mask=False rows
     k = min(max_features, score.shape[0])
-    _, order = lax.top_k(score, k)
-    out = {key: v[order] for key, v in merged.items()}
-    out["mask"] = out["mask"] & (score[order] > -jnp.inf)
+    if k == score.shape[0]:
+        # nothing to select — every candidate slot fits the feature
+        # budget (the compacted per-octave caps usually sum below
+        # max_features), so lax.top_k would be a full sort that keeps
+        # everything. Downstream consumers are order-invariant (masked
+        # reductions; Features.top_k re-sorts when a caller asks).
+        out = dict(merged)
+    else:
+        _, order = lax.top_k(score, k)
+        out = {key: v[order] for key, v in merged.items()}
+        out["mask"] = out["mask"] & (score[order] > -jnp.inf)
     if k < max_features:
         pad = max_features - k
         out = {key: jnp.concatenate(
