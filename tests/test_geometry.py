@@ -187,3 +187,39 @@ def test_sample_minimal_sets_distinct_valid_uniform():
     idx2 = np.asarray(sample_minimal_sets(
         jax.random.PRNGKey(1), jnp.asarray(mask2), 16, 5))
     assert ((idx2 >= 0) & (idx2 < n)).all()
+
+
+def test_flat_4pt_solver_matches_closed_oracle():
+    """The SoA hypothesis solver (_homography_4pt_flat) must interpolate
+    its 4 points as exactly as the 3x3 reference implementation and
+    agree on validity (the flat form is the RANSAC hot path; the closed
+    3x3 form is kept as the oracle)."""
+    from tpu3drec.ops.geometry import (
+        _homography_4pt_closed, _homography_4pt_flat,
+        _homography_transfer_error_flat)
+    rng = np.random.default_rng(7)
+    H = np.array([[1.05, 0.08, 4.0], [-0.06, 0.92, -3.0],
+                  [2e-4, -1e-4, 1.0]], np.float32)
+    for t in range(50):
+        p1 = rng.uniform(0, 640, (4, 2)).astype(np.float32)
+        ph = np.c_[p1, np.ones(4)] @ H.T
+        p2 = (ph[:, :2] / ph[:, 2:]).astype(np.float32)
+        Ha, oka = _homography_4pt_closed(jnp.asarray(p1), jnp.asarray(p2))
+        hv, okf = _homography_4pt_flat(jnp.asarray(p1), jnp.asarray(p2))
+        assert bool(oka) == bool(okf)
+        if not bool(oka):
+            continue
+        # both must interpolate the minimal sample to sub-0.1px
+        for Hm in (np.asarray(Ha), np.asarray(hv).reshape(3, 3)):
+            q = np.c_[p1, np.ones(4)] @ Hm.T
+            assert np.abs(q[:, :2] / q[:, 2:] - p2).max() < 0.1
+        # flat residuals == 3x3 residuals on arbitrary points
+        pts = rng.uniform(0, 640, (32, 2)).astype(np.float32)
+        qh = np.c_[pts, np.ones(32)] @ H.T
+        qts = (qh[:, :2] / qh[:, 2:]).astype(np.float32)
+        r_flat = np.asarray(_homography_transfer_error_flat(
+            hv, jnp.asarray(pts), jnp.asarray(qts)))
+        r_ref = np.asarray(homography_transfer_error(
+            jnp.asarray(np.asarray(hv).reshape(3, 3)), jnp.asarray(pts),
+            jnp.asarray(qts)))
+        np.testing.assert_allclose(r_flat, r_ref, rtol=1e-4, atol=1e-4)

@@ -214,6 +214,119 @@ def _homography_4pt_closed(p1: jnp.ndarray, p2: jnp.ndarray
     return H, ok & jnp.all(jnp.isfinite(H))
 
 
+def _homography_4pt_flat(p1: jnp.ndarray, p2: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_homography_4pt_closed in struct-of-arrays form: returns (h (9,),
+    valid) with NO 3x3 intermediates.
+
+    Under the RANSAC double-vmap (batch x hypotheses), (K, 3, 3)
+    intermediates tile each trailing 3x3 to a padded (8, 128) TPU tile
+    and every tiny matmul lowers as a batched dot over those pads —
+    measured 31.7 ms of the 65 ms find_homography block at 96x256.
+    Expanding the projective-basis method to scalar formulas keeps every
+    op a flat (K,) vector op that fuses on the VPU. Same math as
+    _homography_4pt_closed (kept as the reference implementation /
+    oracle, tests/test_geometry.py)."""
+    x = p1[:, 0]
+    y = p1[:, 1]
+    u = p2[:, 0]
+    v = p2[:, 1]
+
+    def norm4(x, y):
+        mx = 0.25 * jnp.sum(x)
+        my = 0.25 * jnp.sum(y)
+        cx = x - mx
+        cy = y - my
+        md = 0.25 * jnp.sum(jnp.sqrt(cx * cx + cy * cy))
+        s = jnp.sqrt(2.0) / jnp.maximum(md, 1e-9)
+        return cx * s, cy * s, s, mx, my
+
+    x, y, s1, mx1, my1 = norm4(x, y)
+    u, v, s2, mx2, my2 = norm4(u, v)
+
+    def basis(px, py):
+        """Columns c_i = lam_i * (px_i, py_i, 1), lam = adj(M) @ p4."""
+        x1, x2, x3, x4 = px[0], px[1], px[2], px[3]
+        y1, y2, y3, y4 = py[0], py[1], py[2], py[3]
+        # adj of M = [[x1,x2,x3],[y1,y2,y3],[1,1,1]] applied to (x4,y4,1)
+        l1 = (y2 - y3) * x4 + (x3 - x2) * y4 + (x2 * y3 - x3 * y2)
+        l2 = (y3 - y1) * x4 + (x1 - x3) * y4 + (x3 * y1 - x1 * y3)
+        l3 = (y1 - y2) * x4 + (x2 - x1) * y4 + (x1 * y2 - x2 * y1)
+        # B = [[l1 x1, l2 x2, l3 x3], [l1 y1, l2 y2, l3 y3], [l1, l2, l3]]
+        return (l1 * x1, l2 * x2, l3 * x3,
+                l1 * y1, l2 * y2, l3 * y3,
+                l1, l2, l3), (l1, l2, l3)
+
+    B1, lam1 = basis(x, y)
+    B2, lam2 = basis(u, v)
+    a, b, c, d, e, f, g, h_, i = B1
+    # adj(B1)
+    A00 = e * i - f * h_
+    A01 = c * h_ - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h_ - e * g
+    A21 = b * g - a * h_
+    A22 = a * e - b * d
+    p, q, r, t, w, z, m, n, o = B2
+    # Hn = B2 @ adj(B1)
+    H00 = p * A00 + q * A10 + r * A20
+    H01 = p * A01 + q * A11 + r * A21
+    H02 = p * A02 + q * A12 + r * A22
+    H10 = t * A00 + w * A10 + z * A20
+    H11 = t * A01 + w * A11 + z * A21
+    H12 = t * A02 + w * A12 + z * A22
+    H20 = m * A00 + n * A10 + o * A20
+    H21 = m * A01 + n * A11 + o * A21
+    H22 = m * A02 + n * A12 + o * A22
+    # T2^-1 @ Hn: T2^-1 = [[1/s2, 0, mx2], [0, 1/s2, my2], [0, 0, 1]]
+    inv_s2 = 1.0 / s2
+    G00 = H00 * inv_s2 + mx2 * H20
+    G01 = H01 * inv_s2 + mx2 * H21
+    G02 = H02 * inv_s2 + mx2 * H22
+    G10 = H10 * inv_s2 + my2 * H20
+    G11 = H11 * inv_s2 + my2 * H21
+    G12 = H12 * inv_s2 + my2 * H22
+    # (T2^-1 Hn) @ T1: T1 = [[s1, 0, -s1 mx1], [0, s1, -s1 my1], [0, 0, 1]]
+    t02 = -s1 * mx1
+    t12 = -s1 * my1
+    F00 = G00 * s1
+    F01 = G01 * s1
+    F02 = G00 * t02 + G01 * t12 + G02
+    F10 = G10 * s1
+    F11 = G11 * s1
+    F12 = G10 * t02 + G11 * t12 + G12
+    F20 = H20 * s1
+    F21 = H21 * s1
+    F22 = H20 * t02 + H21 * t12 + H22
+
+    lam_min = jnp.minimum(
+        jnp.minimum(jnp.minimum(jnp.abs(lam1[0]), jnp.abs(lam1[1])),
+                    jnp.minimum(jnp.abs(lam1[2]), jnp.abs(lam2[0]))),
+        jnp.minimum(jnp.abs(lam2[1]), jnp.abs(lam2[2])))
+    ok = (lam_min > 1e-12) & (jnp.abs(F22) > 1e-12)
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, F22, 1.0), 1.0)
+    hv = jnp.stack([F00, F01, F02, F10, F11, F12, F20, F21, F22]) * inv
+    return hv, ok & jnp.all(jnp.isfinite(hv))
+
+
+def _homography_transfer_error_flat(hv: jnp.ndarray, pts1: jnp.ndarray,
+                                    pts2: jnp.ndarray) -> jnp.ndarray:
+    """homography_transfer_error taking the flat (9,) model."""
+    x = pts1[:, 0]
+    y = pts1[:, 1]
+    px = hv[0] * x + hv[1] * y + hv[2]
+    py = hv[3] * x + hv[4] * y + hv[5]
+    z = hv[6] * x + hv[7] * y + hv[8]
+    bad = jnp.abs(z) < 1e-10
+    zi = 1.0 / jnp.where(bad, 1.0, z)
+    ex = px * zi - pts2[:, 0]
+    ey = py * zi - pts2[:, 1]
+    return jnp.where(bad, 1e12, ex * ex + ey * ey)
+
+
 def _h_solver(p1, p2):
     if p1.shape[0] == 4:
         return _homography_4pt_closed(p1, p2)
@@ -231,11 +344,12 @@ def find_homography(pts1: jnp.ndarray, pts2: jnp.ndarray,
     mask = jnp.ones((n,), bool) if mask is None else mask
     key = jax.random.PRNGKey(0) if key is None else key
     result = ransac(pts1, pts2, mask, key,
-                    solver=_h_solver,
-                    residual_fn=homography_transfer_error,
+                    solver=_homography_4pt_flat,
+                    residual_fn=_homography_transfer_error_flat,
                     sample_size=4,
                     num_hypotheses=num_hypotheses,
                     threshold=threshold)
+    result = result._replace(model=result.model.reshape(3, 3))
     if refit:
         H2, ok = solve_homography_dlt(pts1, pts2,
                                       result.inliers.astype(pts1.dtype))

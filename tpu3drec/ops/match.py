@@ -81,19 +81,70 @@ def distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def _top2_min(dist: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _top2_min(dist: jnp.ndarray, big=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-wise two smallest entries: returns idx (N, 2), val (N, 2).
 
     The winner is masked out with an iota compare (fuses into the second
     reduction pass) rather than a scatter — `.at[rows, i1].set(inf)`
-    rewrites the whole (N, M) matrix through TPU scatter lowering."""
+    rewrites the whole (N, M) matrix through TPU scatter lowering.
+    `big` is the +inf stand-in for dist's dtype (defaults to f32 _INF)."""
+    big = _INF if big is None else big
     i1 = jnp.argmin(dist, axis=1)
     v1 = jnp.min(dist, axis=1)
     cols = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    masked = jnp.where(cols == i1[:, None], _INF, dist)
+    masked = jnp.where(cols == i1[:, None], big, dist)
     i2 = jnp.argmin(masked, axis=1)
     v2 = jnp.min(masked, axis=1)
     return jnp.stack([i1, i2], axis=1), jnp.stack([v1, v2], axis=1)
+
+
+def _raw_comparable(desc1: jnp.ndarray, desc2: jnp.ndarray, metric: str):
+    """(raw (N, M) matrix, big pad value, post(val) -> true distance).
+
+    `raw` preserves the distance ORDER but skips the monotonic tail
+    transforms (sqrt / int->float casts), so the top-2 reductions run on
+    the cheapest exact representation and `post` touches only the two
+    winner columns — two fewer full passes over the N x M matrix
+    (sqrt + convert were ~400M-element passes each at bench scale).
+    int32 squared distances also break near-ties exactly where an f32
+    sqrt could round two distinct d^2 to the same float.
+    """
+    d = desc1.shape[1]
+    if metric == "l2_int8":
+        q1 = (jnp.round(jnp.clip(desc1, 0.0, 255.0)) - 128.0) \
+            .astype(jnp.int8)
+        q2 = (jnp.round(jnp.clip(desc2, 0.0, 255.0)) - 128.0) \
+            .astype(jnp.int8)
+        dot = jax.lax.dot_general(
+            q1, q2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        n1 = jnp.sum(jnp.square(q1.astype(jnp.int32)), axis=1,
+                     keepdims=True)
+        n2 = jnp.sum(jnp.square(q2.astype(jnp.int32)), axis=1,
+                     keepdims=True)
+        raw = n1 + n2.T - 2 * dot                  # exact squared L2
+        return raw, jnp.int32(jnp.iinfo(jnp.int32).max), \
+            lambda v: jnp.sqrt(jnp.maximum(v, 0).astype(jnp.float32))
+    if metric == "hamming_pm1":
+        q1 = desc1.astype(jnp.int8)
+        q2 = desc2.astype(jnp.int8)
+        dot = jax.lax.dot_general(
+            q1, q2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # -dot orders identically to the bit-flip count (d - dot) / 2.
+        # post converts to f32 BEFORE the +d (the int32max pad value of
+        # fully-masked columns must stay huge, not overflow)
+        return -dot, jnp.int32(jnp.iinfo(jnp.int32).max), \
+            lambda v: (v.astype(jnp.float32) + d) * 0.5
+    if metric == "l2":
+        dot = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        sq1 = jnp.sum(desc1 * desc1, axis=1, keepdims=True)
+        sq2 = jnp.sum(desc2 * desc2, axis=1, keepdims=True)
+        raw = sq1 + sq2.T - 2.0 * dot              # squared L2
+        return raw, _INF, lambda v: jnp.sqrt(jnp.maximum(
+            jnp.minimum(v, _INF), 0.0))
+    raise ValueError(f"unknown metric {metric!r}")
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -105,9 +156,10 @@ def knn2(desc1: jnp.ndarray, desc2: jnp.ndarray,
     Padded rows of desc2 never win (distance forced to +inf); padded rows of
     desc1 get garbage that callers must mask with mask1.
     """
-    dist = distance_matrix(desc1, desc2, metric)
-    dist = jnp.where(mask2[None, :], dist, _INF)
-    return _top2_min(dist)
+    raw, big, post = _raw_comparable(desc1, desc2, metric)
+    raw = jnp.where(mask2[None, :], raw, big)
+    idx, val = _top2_min(raw, big)
+    return idx, post(val)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "block"))
@@ -132,12 +184,16 @@ def knn2_blockwise(desc1: jnp.ndarray, desc2: jnp.ndarray,
     blocks_d = desc2.reshape(nb, block, d)
     blocks_m = mask2.reshape(nb, block)
 
+    # probe raw dtype/pad/post once (the scan carry lives in raw domain;
+    # post applies to the two final winners only)
+    _, big, post = _raw_comparable(desc1[:1], desc2[:1], metric)
+
     def step(carry, blk):
-        bi, bv = carry                     # running (N,2) idx / val
+        bi, bv = carry                     # running (N,2) idx / raw val
         db, mb, off = blk
-        dist = distance_matrix(desc1, db, metric)
-        dist = jnp.where(mb[None, :], dist, _INF)
-        li, lv = _top2_min(dist)
+        raw, _, _ = _raw_comparable(desc1, db, metric)
+        raw = jnp.where(mb[None, :], raw, big)
+        li, lv = _top2_min(raw, big)
         li = li + off
         # merge 4 candidates -> top 2
         cand_v = jnp.concatenate([bv, lv], axis=1)       # (N, 4)
@@ -145,17 +201,17 @@ def knn2_blockwise(desc1: jnp.ndarray, desc2: jnp.ndarray,
         j1 = jnp.argmin(cand_v, axis=1)
         v1 = jnp.take_along_axis(cand_v, j1[:, None], axis=1)[:, 0]
         i1 = jnp.take_along_axis(cand_i, j1[:, None], axis=1)[:, 0]
-        masked = cand_v.at[jnp.arange(n), j1].set(_INF)
+        masked = cand_v.at[jnp.arange(n), j1].set(big)
         j2 = jnp.argmin(masked, axis=1)
         v2 = jnp.take_along_axis(masked, j2[:, None], axis=1)[:, 0]
         i2 = jnp.take_along_axis(cand_i, j2[:, None], axis=1)[:, 0]
         return (jnp.stack([i1, i2], 1), jnp.stack([v1, v2], 1)), None
 
     init = (jnp.zeros((n, 2), jnp.int32),
-            jnp.full((n, 2), _INF, jnp.float32))
+            jnp.full((n, 2), big, jnp.asarray(big).dtype))
     offs = jnp.arange(nb, dtype=jnp.int32) * block
     (idx, val), _ = jax.lax.scan(step, init, (blocks_d, blocks_m, offs))
-    return idx, val
+    return idx, post(val)
 
 
 # full-matrix kNN is faster below this many descriptors; above it the
