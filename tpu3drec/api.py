@@ -124,7 +124,10 @@ def match_images(image1, image2, method: str = "SIFT",
     t0 = time.perf_counter()
     f1 = detect_features(image1, method, max_features, config)
     f2 = detect_features(image2, method, max_features, config)
-    f1.desc.block_until_ready()
+    # host materialization, not block_until_ready: the latter is a no-op
+    # on the axon backend (CLAUDE.md), which made detection_time ~0 on
+    # real TPUs (same fix as bench.py / pipelines/matching.py)
+    np.asarray(jnp.sum(f1.desc) + jnp.sum(f2.desc))
     t1 = time.perf_counter()
 
     if matcher == "auto":
@@ -135,7 +138,7 @@ def match_images(image1, image2, method: str = "SIFT",
     m = match_features(f1, f2, ratio=mparams.get("ratio_threshold", 0.75),
                        cross_check=mparams.get("cross_check", False),
                        method=method)
-    m.mask.block_until_ready()
+    np.asarray(jnp.sum(m.mask))
     t2 = time.perf_counter()
 
     result = MethodResult(

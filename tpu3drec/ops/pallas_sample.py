@@ -510,17 +510,27 @@ def _ori_desc_kernel(fb, imeta_ref, dims_ref, dxs_ref, dys_ref, dcb_ref,
             so = lax.broadcasted_iota(jnp.int32, (DESC_B * CW, DESC_B), 1)
             Seg = (sc // CW == so).astype(jnp.float32)
 
-            rows = []
+            # All 16 (r, c) spatial bins ride ONE stacked matmul: 16
+            # separate (CH, 8*CW) @ (8*CW, 8) products were 32 tiny MXU
+            # issues per keypoint (latency-, not FLOP-bound). The
+            # row-group sum over CH is a second 0/1 segment matmul.
+            prods = []
             for r in range(DESC_D):
                 tr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - r))
                 pr = packed * tr                                 # hoisted over c
                 for c in range(DESC_D):
                     tc = jnp.maximum(0.0, 1.0 - jnp.abs(cbin - c))
-                    prod = pr * tc                               # (CH, 8*CW)
-                    per_ch = jnp.dot(prod, Seg,
-                                     preferred_element_type=jnp.float32)
-                    rows.append(jnp.sum(per_ch, axis=0, keepdims=True))  # (1,8)
-            raw = jnp.concatenate(rows, axis=0)                  # (16, 8)
+                    prods.append(pr * tc)                        # (CH, 8*CW)
+            big = jnp.concatenate(prods, axis=0)                 # (16*CH, 8*CW)
+            per_ch = jnp.dot(big, Seg,
+                             preferred_element_type=jnp.float32)  # (16*CH, 8)
+            gr = lax.broadcasted_iota(jnp.int32, (DESC_D * DESC_D,
+                                                  DESC_D * DESC_D * CH), 0)
+            gc = lax.broadcasted_iota(jnp.int32, (DESC_D * DESC_D,
+                                                  DESC_D * DESC_D * CH), 1)
+            SegR = (gc // CH == gr).astype(jnp.float32)
+            raw = jnp.dot(SegR, per_ch,
+                          preferred_element_type=jnp.float32)    # (16, 8)
 
             desc_ref[u, :, :DESC_B] = raw
             angle_ref[u, :, :] = jnp.full((1, 128), angle, jnp.float32)

@@ -127,9 +127,30 @@ def _dog_extrema_mask(dog: jnp.ndarray, contrast_threshold: float) -> jnp.ndarra
     return is_ext & ok
 
 
+@jax.custom_batching.custom_vmap
 def _flat_gather(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """1-D gather — the TPU-fast indexing primitive."""
+    """1-D gather — the TPU-fast indexing primitive.
+
+    Under vmap the batch axis is folded INTO the gather: (B, L) sources
+    flatten to (B*L,) and indices get per-element offsets, so XLA sees
+    one plain 1-D take instead of a batched general gather (measured
+    ~150M vs ~76M elements/s on v5e — refine + XLA sampling are gather-
+    element-bound, CLAUDE.md)."""
     return jnp.take(flat, idx, axis=0)
+
+
+@_flat_gather.def_vmap
+def _flat_gather_vmap(axis_size, in_batched, flat, idx):
+    flat_b, idx_b = in_batched
+    if not flat_b:
+        flat = jnp.broadcast_to(flat[None], (axis_size,) + flat.shape)
+    if not idx_b:
+        idx = jnp.broadcast_to(idx[None], (axis_size,) + idx.shape)
+    L = flat.shape[1]
+    offs = (jnp.arange(axis_size, dtype=idx.dtype) * L).reshape(
+        (axis_size,) + (1,) * (idx.ndim - 1))
+    out = jnp.take(flat.reshape(-1), idx + offs, axis=0)
+    return out, True
 
 
 def _refine_candidates(dog: jnp.ndarray, sel_s, sel_y, sel_x,
