@@ -59,6 +59,15 @@ def test_detector_shim_and_filter_roundtrip(test_image):
     kps = C.keypoints_to_list(f1)
     back = C.list_to_keypoints(kps)
     assert back.capacity == len(kps)
+    # serialized dicts use the reference's cv2.KeyPoint convention
+    # (core_data_structures.py:176-189): angle in DEGREES [0, 360);
+    # deserialization restores this framework's radians exactly
+    assert all(0.0 <= d["angle"] < 360.0 for d in kps)
+    import numpy as _np
+    ours = _np.asarray(f1.to_numpy()["angle"])
+    rt = _np.asarray(back.to_numpy()["angle"])
+    dd = _np.abs(((ours - rt) + _np.pi) % (2 * _np.pi) - _np.pi)
+    assert float(dd.max()) < 1e-5
 
 
 def test_cpe_dense_class_surface():

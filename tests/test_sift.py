@@ -115,6 +115,31 @@ def test_sift_quality_comparable_to_cv2(photo):
         f"ours {ours_verified} vs cv2 {cv2_verified}"
 
 
+def test_sift_cross_framework_descriptor_interop(photo):
+    """tpu3drec SIFT descriptors must match against cv2.SIFT descriptors.
+
+    The interchange claim (PARITY §2.4) means reference-produced pickles
+    (cv2.SIFT via traditional_detectors.py:16-52) and tpu3drec features
+    are mutually matchable. The native layout is cv2's [row, col, ori]
+    with cv2's orientation-bin direction (sift._OBIN_REV); before that
+    flip this exact pairing produced ZERO cross matches."""
+    warped, H = warp_pair(photo)
+    u8 = (photo * 255).astype(np.uint8)
+    k1, d1 = cv2.SIFT_create(nfeatures=1024).detectAndCompute(u8, None)
+    fn = detect_sift_features(jnp.asarray(warped), max_features=1024).to_numpy()
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    good = [m for m, n in bf.knnMatch(d1.astype(np.float32),
+                                      fn["desc"].astype(np.float32), k=2)
+            if m.distance < 0.8 * n.distance]
+    assert len(good) >= 20, f"only {len(good)} cv2->tpu3drec matches"
+    p1 = np.array([k1[m.queryIdx].pt for m in good], np.float64)
+    p2 = np.array([fn["xy"][m.trainIdx] for m in good], np.float64)
+    ph = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ H.T
+    proj = ph[:, :2] / ph[:, 2:3]
+    rate = float((np.linalg.norm(proj - p2, axis=1) < 3.0).mean())
+    assert rate > 0.6, f"cross-framework GT inlier rate {rate:.2f}"
+
+
 def test_api_match_images_end_to_end(photo):
     warped, H = warp_pair(photo)
     r = match_images(photo, warped, method="SIFT", max_features=512)

@@ -129,23 +129,35 @@ def dict_to_keypoint(d: Dict):
 
 
 def keypoints_to_list(features: Features):
-    """Features -> list of keypoint dicts (valid rows only)."""
+    """Features -> list of keypoint dicts (valid rows only).
+
+    The dict format is the reference's cv2.KeyPoint serialization
+    (core_data_structures.py:176-189): `angle` is DEGREES in [0, 360)
+    and `size` a diameter, so tpu3drec's radians are converted here —
+    reference-side consumers (and cv2.KeyPoint round-trips) read these
+    pickles directly."""
     f = features.to_numpy() if hasattr(features, "to_numpy") else features
     out = []
     xy, size = np.asarray(f["xy"]), np.asarray(f["scale"])
     ang, resp = np.asarray(f["angle"]), np.asarray(f["response"])
+    ang_deg = np.degrees(ang) % 360.0
     for i in range(len(xy)):
-        out.append(keypoint_to_dict(xy[i], size[i], ang[i], resp[i]))
+        out.append(keypoint_to_dict(xy[i], size[i], ang_deg[i], resp[i]))
     return out
 
 
 def list_to_keypoints(items, desc=None, image_shape=()) -> Features:
+    """Inverse of keypoints_to_list: cv2-convention degrees -> radians
+    wrapped to (-pi, pi] (this framework's Features.angle unit)."""
     xy = np.asarray([d["pt"] for d in items], np.float32).reshape(-1, 2)
+    deg = np.asarray([d.get("angle", 0.0) for d in items], np.float32)
+    rad = np.radians(deg)
+    rad = (rad + np.pi) % (2 * np.pi) - np.pi
     return Features.from_numpy(
         xy, desc if desc is not None else np.zeros((len(xy), 0)),
         response=[d.get("response", 0.0) for d in items],
         scale=[d.get("size", 1.0) for d in items],
-        angle=[d.get("angle", 0.0) for d in items],
+        angle=rad,
         image_shape=image_shape)
 
 

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu3drec.ops.sift import (
     ORI_BINS, ORI_SIG_FCTR, ORI_RADIUS_FCTR,
     DESC_D, DESC_B, DESC_SCL_FCTR, DESC_MAG_THR,
+    _OBIN_REV as _OBIN_REV_NP,
 )
 
 WIN_H = 96     # DMA window rows (multiple of 8)
@@ -192,7 +193,7 @@ def oracle_ori_desc(dx_img: np.ndarray, dy_img: np.ndarray,
             tc = np.maximum(0.0, 1.0 - np.abs(cbin - c))
             for o in range(DESC_B):
                 desc[r * DESC_D + c, o] = np.sum(tr * tc * coarse[o])
-    desc = desc.reshape(-1)
+    desc = desc[:, _OBIN_REV_NP].reshape(-1)   # cv2 bin direction
     desc = desc / max(np.linalg.norm(desc), 1e-12)
     desc = np.minimum(desc, DESC_MAG_THR)
     desc = 512.0 * desc / max(np.linalg.norm(desc), 1e-12)
@@ -609,7 +610,9 @@ def ori_desc_windows(dxs: jnp.ndarray, dys: jnp.ndarray,
     )(imeta_flat, dims, dxs, dys, jnp.asarray(_DCB_NP))
     angle = angle[:K]
     raw = raw[:K]
-    desc = raw[:, :, :DESC_B].reshape(K, 128)  # (rc major, o minor)
+    # (rc major, o minor); orientation bins reversed to cv2's direction
+    # (sift._OBIN_REV — see the rationale there)
+    desc = raw[:, :, :DESC_B][:, :, _OBIN_REV_NP].reshape(K, 128)
     norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
     desc = jnp.minimum(desc, DESC_MAG_THR)
