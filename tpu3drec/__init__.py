@@ -38,11 +38,27 @@ import os as _os
 
 if (not _os.environ.get("TPU3DREC_NO_COMPILE_CACHE")
         and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
-    # (cpu excluded: XLA:CPU AOT cache entries carry machine-feature
-    # fingerprints that can mismatch across hosts — SIGILL risk; the
-    # remote-TPU compile path is where the cache pays off anyway)
-    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 _os.path.expanduser("~/.cache/tpu3drec_jax"))
+    # The cache dir is namespaced by a HOST CPU fingerprint: XLA:CPU AOT
+    # cache entries embed machine features (avx512/amx/...) of the host
+    # that compiled them, and loading them on a different host is a
+    # silent SIGILL/segfault (observed: every full-suite run crashed in
+    # backend_compile_and_load once the build VM changed — the
+    # env-var-based "cpu excluded" gate did not fire because the test
+    # conftest switches platform AFTER import while sitecustomize holds
+    # JAX_PLATFORMS at the TPU backend). A host change now lands in a
+    # fresh empty subdir instead of reading foreign executables.
+    import hashlib as _hashlib
+    import platform as _platform
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next((_l for _l in _f if _l.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _fp = _hashlib.sha1(
+        (_platform.machine() + _flags).encode()).hexdigest()[:12]
+    _cache_dir = _os.path.join(
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/tpu3drec_jax")), _fp)
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
