@@ -23,8 +23,29 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
+import gc
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mmap_count():
+    """Keep the process under vm.max_map_count (65530 here).
+
+    Every XLA:CPU JIT-compiled executable pins several mmap regions for
+    the lifetime of JAX's C++ executable caches; a full-suite run
+    accumulates them at ~3-4k maps/min (measured) until the next
+    compile's mmap fails and XLA SEGFAULTS inside
+    backend_compile_and_load — which is exactly how every full-suite
+    run on this VM died (~40 min in, around the 184th test, regardless
+    of which module happened to be there). Dropping the caches at
+    module boundaries bounds the map count; the persistent compile
+    cache (tpu3drec/__init__) makes the resulting recompiles cheap
+    disk reloads."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

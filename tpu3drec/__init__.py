@@ -36,8 +36,9 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # backend. Opt out with TPU3DREC_NO_COMPILE_CACHE=1.
 import os as _os
 
-if (not _os.environ.get("TPU3DREC_NO_COMPILE_CACHE")
-        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+if not _os.environ.get("TPU3DREC_NO_COMPILE_CACHE"):
+    # Enabled for EVERY backend (CPU included — the test suite and CPU
+    # users benefit, and jax.clear_caches() calls stay cheap reloads).
     # The cache dir is namespaced by a HOST CPU fingerprint: XLA:CPU AOT
     # cache entries embed machine features (avx512/amx/...) of the host
     # that compiled them, and loading them on a different host is a
