@@ -297,12 +297,45 @@ def main():
     }))
 
 
+def _require_live_backend(timeout_s: float = 180.0) -> None:
+    """Fail FAST with a diagnosable JSON line when the TPU tunnel is
+    dead instead of hanging forever at the first device op (the axon
+    client blocks uninterruptibly in native code on a downed relay —
+    observed 2026-08-17, a multi-hour outage where every probe hung
+    past its SIGTERM). The probe runs in a daemon thread; on timeout
+    the process exits hard via os._exit (the hung thread cannot be
+    joined)."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        x = jnp.ones((8, 8))
+        np.asarray(jnp.sum(x * x))
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "pairs/s SIFT detect+match+RANSAC (UNMEASURED)",
+            "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
+            "error": f"device backend unreachable after {timeout_s:.0f}s"
+                     " — TPU tunnel down; rerun when the relay is back",
+        }), flush=True)
+        os._exit(2)
+
+
 if __name__ == "__main__":
     import os
     stages = os.environ.get("BENCH_STAGES", "")
     if "--all" in sys.argv or stages == "all":
         stages = "matching,ba,sfm,dense,deep"
     stages = stages or "matching"
+    _require_live_backend()
     for stage in stages.split(","):
         {"matching": main, "ba": bench_ba, "sfm": bench_sfm,
          "dense": bench_dense, "deep": bench_deep}[stage.strip()]()
