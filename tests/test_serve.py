@@ -139,3 +139,34 @@ def test_concurrent_requests_microbatch(server):
         assert h["batching"]["batched_requests"] >= 4
     finally:
         httpd.shutdown()
+
+
+def test_microbatch_overflow_drains_past_max_batch():
+    """More concurrent requests than max_batch: the window leader must
+    drain the pending queue across MULTIPLE dispatches (and late
+    arrivals past the cap get picked up rather than waiting forever).
+    Exercises MicroBatcher.submit's drain loop directly."""
+    import tpu3drec.serve as serve_mod
+
+    ms = serve_mod.MatchServer(shape=(120, 160), max_features=256,
+                               batch_window_s=0.4, max_batch=2)
+    img1 = _scene(5)
+    img2 = _scene(5, shift=2)
+    n = 5
+    results = [None] * n
+
+    def worker(i):
+        results[i] = ms.batcher.submit(img1, img2, 0.75, 3.0)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None for r in results), results
+    assert all(r["num_matches"] > 5 for r in results)
+    st = ms.batcher.stats
+    # 5 requests at cap 2 need >= 3 dispatches, none bigger than the cap
+    assert st["batched_requests"] == n
+    assert st["dispatches"] >= 3
+    assert st["max_batch"] <= 2
