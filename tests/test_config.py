@@ -61,3 +61,20 @@ def test_hardware_adjust_drops_deep_methods():
     assert out["methods"] == ["SIFT"]  # fallback (reference config.py:499-563)
     keep = adjust_config_for_hardware(cfg, have_deep_weights=True)
     assert keep["methods"] == ["SuperPoint", "DISK"]
+
+
+def test_compile_cache_dir_is_host_fingerprinted():
+    """Regression guard for the cross-host cache segfault: the persistent
+    compile cache dir must end in a 12-hex host-CPU fingerprint so a VM
+    migration lands in a fresh subdir instead of loading XLA:CPU AOT
+    executables built for another machine's features (tpu3drec/__init__)."""
+    import os
+    import re
+    import jax
+
+    d = jax.config.jax_compilation_cache_dir
+    if os.environ.get("TPU3DREC_NO_COMPILE_CACHE"):
+        assert d is None
+        return
+    assert d, "persistent compile cache not configured"
+    assert re.fullmatch(r"[0-9a-f]{12}", os.path.basename(d)), d
