@@ -52,9 +52,16 @@ if not _os.environ.get("TPU3DREC_NO_COMPILE_CACHE"):
     import platform as _platform
     try:
         with open("/proc/cpuinfo") as _f:
-            _flags = next((_l for _l in _f if _l.startswith("flags")), "")
+            # x86 says 'flags', aarch64 says 'Features', riscv says 'isa'
+            _flags = next((_l for _l in _f if _l.split("\t")[0].strip()
+                           .lower() in ("flags", "features", "isa")), "")
     except OSError:
         _flags = ""
+    if not _flags:
+        # no feature line (non-Linux / exotic kernel): fall back to a
+        # per-host identity so distinct hosts never share a cache dir
+        _flags = _platform.processor() + _platform.node() + \
+            " ".join(_platform.uname())
     _fp = _hashlib.sha1(
         (_platform.machine() + _flags).encode()).hexdigest()[:12]
     _cache_dir = _os.path.join(

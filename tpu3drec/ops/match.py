@@ -201,7 +201,8 @@ def knn2_blockwise(desc1: jnp.ndarray, desc2: jnp.ndarray,
         j1 = jnp.argmin(cand_v, axis=1)
         v1 = jnp.take_along_axis(cand_v, j1[:, None], axis=1)[:, 0]
         i1 = jnp.take_along_axis(cand_i, j1[:, None], axis=1)[:, 0]
-        masked = cand_v.at[jnp.arange(n), j1].set(big)
+        cols4 = jax.lax.broadcasted_iota(jnp.int32, cand_v.shape, 1)
+        masked = jnp.where(cols4 == j1[:, None], big, cand_v)
         j2 = jnp.argmin(masked, axis=1)
         v2 = jnp.take_along_axis(masked, j2[:, None], axis=1)[:, 0]
         i2 = jnp.take_along_axis(cand_i, j2[:, None], axis=1)[:, 0]

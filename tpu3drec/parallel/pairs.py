@@ -50,12 +50,14 @@ def tp_knn2(desc1: jnp.ndarray, desc2_shard: jnp.ndarray,
     rank = lax.axis_index(axis_name)
     dist = distance_matrix(desc1, desc2_shard, metric)
     dist = jnp.where(mask2_shard[None, :], dist, _INF)
-    # local top-2
+    # local top-2 via iota compare-mask, not .at[rows, i1].set: scatter
+    # lowers to a full-matrix rewrite on TPU (ops/match.py:_top2_min)
     i1 = jnp.argmin(dist, axis=1)
-    v1 = jnp.take_along_axis(dist, i1[:, None], axis=1)[:, 0]
-    masked = dist.at[jnp.arange(dist.shape[0]), i1].set(_INF)
+    v1 = jnp.min(dist, axis=1)
+    cols_l = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    masked = jnp.where(cols_l == i1[:, None], _INF, dist)
     i2 = jnp.argmin(masked, axis=1)
-    v2 = jnp.take_along_axis(masked, i2[:, None], axis=1)[:, 0]
+    v2 = jnp.min(masked, axis=1)
     local_idx = jnp.stack([i1, i2], axis=1) + rank * m_local  # global ids
     local_val = jnp.stack([v1, v2], axis=1)
     # gather 2 candidates per rank and reduce to global top-2

@@ -80,12 +80,17 @@ class MicroBatcher:
 
     def __init__(self, shape: Tuple[int, int], max_features: int,
                  tpu_lock: threading.Lock, max_batch: int = 8,
-                 window_s: float = 0.005):
+                 window_s: float = 0.005, wait_timeout_s: float = 1800.0):
         self.shape = shape
         self.max_features = max_features
         self.tpu_lock = tpu_lock
         self.max_batch = max_batch
         self.window_s = window_s
+        # must exceed worst-case FIRST compile of the batch program
+        # (~10-15 min over the remote tunnel, CLAUDE.md) or concurrent
+        # cold-start requests spuriously time out while the leader is
+        # still compiling
+        self.wait_timeout_s = wait_timeout_s
         self._mutex = threading.Lock()
         self._pending: list = []
         self._progs: Dict[int, object] = {}
@@ -177,7 +182,7 @@ class MicroBatcher:
         if not leader:
             # a later arrival past max_batch elects itself leader of the
             # NEXT window via the pending-queue length check above
-            if not item["event"].wait(timeout=600):
+            if not item["event"].wait(timeout=self.wait_timeout_s):
                 raise TimeoutError("batched match timed out")
             return item["result"]
         time.sleep(self.window_s)
@@ -185,11 +190,21 @@ class MicroBatcher:
             with self._mutex:
                 batch = self._pending[: self.max_batch]
                 self._pending = self._pending[self.max_batch:]
+                drained = not self._pending
             if not batch:
                 break
             self._run_batch(batch)
-            if item["result"] is not None and not self._pending:
+            if item["result"] is not None and drained:
                 break
+        # double-leader race: a late arrival can elect itself leader
+        # (len(pending)==1 at append) while the previous leader is still
+        # draining — the old leader then runs OUR item's batch and this
+        # loop finds the queue empty before _run_batch has filled
+        # item['result']. Wait for the event like a non-leader would
+        # instead of returning None mid-flight.
+        if item["result"] is None:
+            if not item["event"].wait(timeout=self.wait_timeout_s):
+                raise TimeoutError("batched match timed out")
         return item["result"]
 
 
