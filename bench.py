@@ -11,7 +11,8 @@ baseline):
   ba     global bundle adjustment, 50 cams / 100k pts / 500k obs:
          ms per accepted LM iteration (matrix-free Schur-CG path) +
          final mean reprojection error
-  sfm    incremental SfM views/s on a synthetic 12-view folder
+  sfm    incremental SfM views/s on a synthetic 50-view folder
+         (BENCH_SFM_VIEWS overrides; multi-run median + spread)
   dense  stereo+fusion megapixel-depth/s on a 3-view 480x640 scene
 """
 
@@ -96,16 +97,29 @@ def bench_ba():
         param_mask=jnp.asarray(pm), point_mask=jnp.ones(P, bool),
     )
     cfg = BAConfig(max_iters=10, schur_solver="cg")
-    res = bundle_adjust(prob, cfg)          # compile + run
+    sharded = os.environ.get("BENCH_BA_SHARDED")
+    if sharded:
+        # sharded point blocks over the mesh (parallel/ba.py): on the
+        # single real chip this is a 1-device mesh (the sharding overhead
+        # measurement); on a pod slice it scales the O(M) work 1/n
+        import jax
+        from tpu3drec.parallel.ba import sharded_bundle_adjust
+        from tpu3drec.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices(), shape=(len(jax.devices()), 1))
+        solve = lambda: sharded_bundle_adjust(prob, mesh, cfg)
+    else:
+        solve = lambda: bundle_adjust(prob, cfg)
+    res = solve()                           # compile + run
     _ = np.asarray(res.points)
     t0 = time.perf_counter()
-    res = bundle_adjust(prob, cfg)
+    res = solve()
     iters = int(np.asarray(res.iterations))
     _ = np.asarray(res.points)
     dt = time.perf_counter() - t0
     ms_per_iter = dt / max(iters, 1) * 1000
+    tag = f", sharded dp{len(__import__('jax').devices())}" if sharded else ""
     print(json.dumps({
-        "metric": f"global BA ms/LM-iter ({C} cams, {P//1000}k pts, {M//1000}k obs, Schur-CG)",
+        "metric": f"global BA ms/LM-iter ({C} cams, {P//1000}k pts, {M//1000}k obs, Schur-CG{tag})",
         "value": round(ms_per_iter, 2),
         "unit": "ms/iter",
         "mean_reproj_px": round(float(np.asarray(res.mean_reproj_px)), 3),

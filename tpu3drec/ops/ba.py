@@ -149,17 +149,37 @@ def mean_reproj_error(prob: BAProblem) -> jnp.ndarray:
     return jnp.sum(n * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "axis_name"))
 def bundle_adjust(prob: BAProblem,
-                  config: BAConfig = BAConfig()) -> BAResult:
-    """Schur-complement LM. Returns optimized cameras/points."""
+                  config: BAConfig = BAConfig(),
+                  axis_name: Optional[str] = None) -> BAResult:
+    """Schur-complement LM. Returns optimized cameras/points.
+
+    With `axis_name` set this runs INSIDE a `shard_map`: `prob.points`,
+    `point_mask` and all observation arrays hold this shard's slice
+    (obs_pt LOCAL point ids), while `cam_params`/`param_mask` are
+    replicated. Every camera-indexed reduction (U, gc, the CG matvec's
+    back-substitution term, the block-Jacobi diagonal, the Huber cost)
+    is `lax.psum`'d over the axis, so all shards march through an
+    IDENTICAL replicated LM/CG state while point work stays local —
+    the SURVEY §5 "sharded point blocks" long-context analogue. Use
+    `tpu3drec.parallel.ba.sharded_bundle_adjust` to partition a global
+    problem and drive this (reference-scale driver:
+    bundle_adjusment.py:414-502).
+    """
     C = prob.cam_params.shape[0]
     P = prob.points.shape[0]
     M = prob.obs_uv.shape[0]
     delta = config.huber_delta
     solver = config.schur_solver
     if solver == "auto":
-        solver = "dense" if C <= 32 else "cg"
+        solver = "dense" if (C <= 32 and axis_name is None) else "cg"
+    if axis_name is not None and solver != "cg":
+        raise ValueError("sharded bundle_adjust supports schur_solver='cg' "
+                         "only (the dense W-block tensor is point-global)")
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     # sort observations by point id once: the point-indexed segment sums
     # then run with indices_are_sorted=True (a sorted scatter lowers much
@@ -191,14 +211,15 @@ def bundle_adjust(prob: BAProblem,
         Jp = Jp * sw
         rw = r * jnp.sqrt(w)[:, None]
 
-        # block accumulations
-        U = jax.ops.segment_sum(
-            jnp.einsum("mri,mrj->mij", Jc, Jc), prob.obs_cam, C)  # (C,10,10)
+        # block accumulations; camera-indexed sums span every shard's
+        # observations (psum), point-indexed sums are shard-local
+        U = allsum(jax.ops.segment_sum(
+            jnp.einsum("mri,mrj->mij", Jc, Jc), prob.obs_cam, C))  # (C,10,10)
         V = jax.ops.segment_sum(
             jnp.einsum("mri,mrj->mij", Jp, Jp), prob.obs_pt, P,
             indices_are_sorted=True)                              # (P,3,3)
-        gc = jax.ops.segment_sum(
-            jnp.einsum("mri,mr->mi", Jc, -rw), prob.obs_cam, C)   # (C,10)
+        gc = allsum(jax.ops.segment_sum(
+            jnp.einsum("mri,mr->mi", Jc, -rw), prob.obs_cam, C))   # (C,10)
         gp = jax.ops.segment_sum(
             jnp.einsum("mri,mr->mi", Jp, -rw), prob.obs_pt, P,
             indices_are_sorted=True)                              # (P,3)
@@ -248,24 +269,27 @@ def bundle_adjust(prob: BAProblem,
             WVm = jnp.einsum("mij,mjl->mil", Wm, Vinv_o)          # (M,10,3)
 
             def matvec(x):                                        # x: (C,10)
+                # x is replicated across shards; z is point-local, the
+                # camera-indexed back-substitution psums over shards so
+                # Sx stays replicated (all shards run identical CG)
                 xo = x[prob.obs_cam]                              # (M,10)
                 z = jax.ops.segment_sum(
                     jnp.einsum("mij,mi->mj", Wm, xo), prob.obs_pt, P,
                     indices_are_sorted=True)
-                back = jax.ops.segment_sum(
+                back = allsum(jax.ops.segment_sum(
                     jnp.einsum("mil,ml->mi", WVm, z[prob.obs_pt]),
-                    prob.obs_cam, C)                              # (C,10)
+                    prob.obs_cam, C))                             # (C,10)
                 Sx = jnp.einsum("cij,cj->ci", Ud, x) - back
                 return Sx * pmask
 
-            rhs = (gc - jax.ops.segment_sum(
+            rhs = (gc - allsum(jax.ops.segment_sum(
                 jnp.einsum("mil,ml->mi", WVm, gp[prob.obs_pt]),
-                prob.obs_cam, C)) * pmask                          # (C,10)
+                prob.obs_cam, C))) * pmask                         # (C,10)
 
             # block-Jacobi preconditioner from the EXACT diagonal blocks
             # D_c = Ud_c - sum_{m: cam_m=c} W_m Vinv W_m^T
-            Dblk = Ud - jax.ops.segment_sum(
-                jnp.einsum("mil,mjl->mij", WVm, Wm), prob.obs_cam, C)
+            Dblk = Ud - allsum(jax.ops.segment_sum(
+                jnp.einsum("mil,mjl->mij", WVm, Wm), prob.obs_cam, C))
             free_b = pmask[:, :, None] * pmask[:, None, :]
             eye = jnp.eye(CAM_DIM, dtype=Dblk.dtype)
             Dblk = Dblk * free_b + eye * (1.0 - pmask[:, :, None] * eye)
@@ -313,7 +337,7 @@ def bundle_adjust(prob: BAProblem,
         pt_o = pts[prob.obs_pt]
         r = jax.vmap(_residual_one)(cam_o, pt_o, prob.obs_uv)
         m = prob.obs_mask & (ptmask[prob.obs_pt] > 0)
-        return _huber_cost(r, m.astype(r.dtype), delta)
+        return allsum(_huber_cost(r, m.astype(r.dtype), delta))
 
     cost0 = cost_of(prob.cam_params, prob.points)
 
@@ -344,7 +368,12 @@ def bundle_adjust(prob: BAProblem,
     cams, pts, lam, cost, iters, _ = jax.lax.while_loop(cond, body, state)
 
     final = prob._replace(cam_params=cams, points=pts)
+    rf = residuals(final)
+    nf = jnp.linalg.norm(rf, axis=-1)
+    mf = final.obs_mask.astype(rf.dtype)
+    mean_px = allsum(jnp.sum(nf * mf)) / jnp.maximum(
+        allsum(jnp.sum(mf)), 1.0)
     return BAResult(cam_params=cams, points=pts,
                     cost_initial=cost0, cost_final=cost,
                     iterations=iters,
-                    mean_reproj_px=mean_reproj_error(final))
+                    mean_reproj_px=mean_px)
