@@ -93,39 +93,66 @@ def cost_volume(left: jnp.ndarray, right: jnp.ndarray,
     return jnp.stack(vols)  # (D, H, W)
 
 
-def _sgm_scan(cost_hwd: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
-    """DP aggregation along axis 0 of a (W, H, D) volume via lax.scan."""
-    D = cost_hwd.shape[-1]
+def _sgm_scan(cost_xbyd: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """DP aggregation along axis 0 of an (X, ..., D) volume via lax.scan.
 
+    The trailing dims ride along elementwise, so independent DP streams
+    (several volumes and/or both scan directions) stack into the carry
+    block: same total FLOPs, 1/k the serial scan steps — the scan's
+    per-step dispatch/latency overhead is what dominates at (H, D) ~
+    120 KB carries, so bigger blocks per step are nearly free.
+    """
     def step(prev, c):
-        # prev, c: (H, D)
+        # prev, c: (..., Y, D)
         m = jnp.min(prev, axis=-1, keepdims=True)
-        up = jnp.concatenate([prev[:, :1], prev[:, :-1]], axis=1)
-        dn = jnp.concatenate([prev[:, 1:], prev[:, -1:]], axis=1)
+        up = jnp.concatenate([prev[..., :1], prev[..., :-1]], axis=-1)
+        dn = jnp.concatenate([prev[..., 1:], prev[..., -1:]], axis=-1)
         best = jnp.minimum(jnp.minimum(prev, up + p1),
                            jnp.minimum(dn + p1, m + p2))
         out = c + best - m
         return out, out
 
-    init = cost_hwd[0]
-    # each step's carry is tiny ((H, D) ~ 120 KB) so loop overhead
-    # dominates; unrolling fuses 8 DP steps per loop iteration
-    _, agg = lax.scan(step, init, cost_hwd[1:], unroll=8)
+    init = cost_xbyd[0]
+    # unrolling fuses 8 DP steps per loop iteration
+    _, agg = lax.scan(step, init, cost_xbyd[1:], unroll=8)
     return jnp.concatenate([init[None], agg], axis=0)
+
+
+def _sgm_bidir(v: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """Forward+backward DP over axis 0 of (X, B, Y, D) in ONE scan:
+    step i advances the forward stream at x=i and the backward stream at
+    x=X-1-i simultaneously (carry (2B, Y, D)). Returns the summed
+    two-direction aggregation, (X, B, Y, D)."""
+    B = v.shape[1]
+    both = jnp.concatenate([v, v[::-1]], axis=1)     # (X, 2B, Y, D)
+    agg = _sgm_scan(both, p1, p2)
+    return agg[:, :B] + agg[:, B:][::-1]
+
+
+@functools.partial(jax.jit, static_argnames=("p1x100", "p2x100"))
+def sgm_aggregate_batch(volumes: jnp.ndarray, p1x100: int = 15,
+                        p2x100: int = 90) -> jnp.ndarray:
+    """4-direction semi-global aggregation of (B, D, H, W) cost volumes.
+
+    All B volumes and both scan directions share each scan's carry
+    block, so the whole 4-direction x B-volume aggregation is TWO
+    lax.scans (one over columns, one over rows) instead of 4B — the
+    left/right-view pair of the LR-consistency check rides in one pass.
+    """
+    p1, p2 = p1x100 / 100.0, p2x100 / 100.0
+    v = jnp.transpose(volumes, (3, 0, 2, 1))         # (W, B, H, D)
+    agg_h = _sgm_bidir(v, p1, p2)                     # L->R + R->L
+    vt = jnp.transpose(volumes, (2, 0, 3, 1))        # (H, B, W, D)
+    agg_v = _sgm_bidir(vt, p1, p2)                    # T->B + B->T
+    return (jnp.transpose(agg_h, (1, 3, 2, 0))
+            + jnp.transpose(agg_v, (1, 3, 0, 2)))    # (B, D, H, W)
 
 
 @functools.partial(jax.jit, static_argnames=("p1x100", "p2x100"))
 def sgm_aggregate(volume: jnp.ndarray, p1x100: int = 15,
                   p2x100: int = 90) -> jnp.ndarray:
     """4-direction semi-global aggregation of a (D, H, W) cost volume."""
-    p1, p2 = p1x100 / 100.0, p2x100 / 100.0
-    v = jnp.transpose(volume, (2, 1, 0))           # (W, H, D)
-    agg = _sgm_scan(v, p1, p2)                      # L -> R
-    agg = agg + _sgm_scan(v[::-1], p1, p2)[::-1]    # R -> L
-    vt = jnp.transpose(volume, (1, 2, 0))           # (H, W, D)
-    agg_t = _sgm_scan(vt, p1, p2)                   # T -> B
-    agg_t = agg_t + _sgm_scan(vt[::-1], p1, p2)[::-1]
-    return jnp.transpose(agg, (2, 1, 0)) + jnp.transpose(agg_t, (2, 0, 1))
+    return sgm_aggregate_batch(volume[None], p1x100, p2x100)[0]
 
 
 def winner_take_all(volume: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -163,14 +190,13 @@ def stereo_depth_rectified(left: jnp.ndarray, right: jnp.ndarray,
     """SGBM-equivalent depth from a rectified pair: depth = f * B / d
     (stereo_matching.py:97-104), with left-right consistency masking."""
     vol = cost_volume(left, right, num_disparities)
-    agg = sgm_aggregate(vol)
-    disp, _ = winner_take_all(agg)
-
     # right-view volume: cost_R(d, y, x) = cost_L(d, y, x + d)
     vol_r = jnp.stack([jnp.roll(vol[d], -d, axis=1)
                        for d in range(num_disparities)])
-    agg_r = sgm_aggregate(vol_r)
-    disp_r, _ = winner_take_all(agg_r)
+    # both views aggregate in ONE two-scan pass (8 scans -> 2)
+    agg2 = sgm_aggregate_batch(jnp.stack([vol, vol_r]))
+    disp, _ = winner_take_all(agg2[0])
+    disp_r, _ = winner_take_all(agg2[1])
     # LR check: disp_L(x) == disp_R(x - disp_L(x))
     h, w = left.shape
     xs = jnp.arange(w)[None, :].astype(jnp.float32) - disp
@@ -187,13 +213,19 @@ def stereo_depth_rectified(left: jnp.ndarray, right: jnp.ndarray,
                         depth=depth, valid=valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_disparities",))
 def stereo_depth_pair(img1: jnp.ndarray, img2: jnp.ndarray,
                       K1: jnp.ndarray, K2: jnp.ndarray,
                       R: jnp.ndarray, t: jnp.ndarray,
                       num_disparities: int = 64) -> Dict:
     """Full two-view path: rectify -> SGM -> depth, with the rectifying
     homography returned so depth can be mapped back to the original view
-    (compute_stereo_depth, stereo_matching.py:30-106)."""
+    (compute_stereo_depth, stereo_matching.py:30-106).
+
+    ONE jitted program end-to-end: the rectification's host-level jnp
+    calls were costing a tunnel dispatch each (~30-80 ms, CLAUDE.md) —
+    the whole pair is now a single dispatch per call.
+    """
     r1, r2, K_new, baseline, (H1, H2) = rectify_pair(img1, img2, K1, K2, R, t)
     res = stereo_depth_rectified(r1, r2, K_new[0, 0], baseline,
                                  num_disparities)

@@ -117,9 +117,12 @@ class DenseReconstructionPipeline:
                 num_disparities=self.num_disparities)
             depths.append(out["depth"])
             valids.append(out["valid"])
-            baselines.append(float(out["baseline"]))
-            per_view[n] = {"valid_fraction":
-                           float(np.asarray(out["valid"]).mean())}
+            baselines.append(out["baseline"])
+        # materialize AFTER the loop: a float()/np.asarray() inside the
+        # loop is a host sync that serializes the per-pair dispatches
+        baselines = [float(np.asarray(b)) for b in baselines]
+        for n, v in zip([x for x in names if x != ref], valids):
+            per_view[n] = {"valid_fraction": float(np.asarray(v).mean())}
         import jax.numpy as jnp2
         fused, fused_valid = fuse_depth_maps(
             jnp2.stack(depths), jnp2.stack(valids),
