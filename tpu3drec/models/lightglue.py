@@ -316,27 +316,49 @@ def load_torch_weights(state_dict: Dict[str, Any],
 _LG_CACHE: Dict[int, LightGlue] = {}
 
 
+def _npz_input_dim(inner: Dict) -> int:
+    """Descriptor dim a converted param tree was trained for."""
+    return int(np.asarray(inner["input_proj"]["kernel"]).shape[0])
+
+
 def match_features_lightglue(feats0: Features, feats1: Features,
                              filter_threshold: float = 0.1) -> Matches:
     """Factory entry (core/registry.py). Loads converted weights if present,
-    else raises (the registry's auto-selection then falls back to kNN)."""
-    from tpu3drec.models import WEIGHTS_DIR, weights_available
+    else raises (the registry's auto-selection then falls back to kNN).
+
+    Per-detector checkpoints: the reference ships one LightGlue per
+    extractor (superpoint_lightglue / disk_lightglue / aliked_lightglue,
+    feature_matchers.py:434-540) because input_proj is descriptor-dim
+    specific. Converted weights land as lightglue_d{input_dim}.npz; the
+    dim matching this pair's descriptors is loaded (plain lightglue.npz
+    remains the fallback name). A dim mismatch raises ImportError so the
+    pipeline records a LOUD kNN fallback instead of crashing mid-batch.
+    """
+    from tpu3drec.models import WEIGHTS_DIR
     input_dim = feats0.desc.shape[1]
     if input_dim not in _LG_CACHE:
-        if weights_available("lightglue"):
-            data = np.load(WEIGHTS_DIR / "lightglue.npz", allow_pickle=True)
+        lg = None
+        for name in (f"lightglue_d{input_dim}.npz", "lightglue.npz"):
+            path = WEIGHTS_DIR / name
+            if not path.exists():
+                continue
+            data = np.load(path, allow_pickle=True)
+            inner = jax.tree.map(jnp.asarray, data["params"].item())
+            if _npz_input_dim(inner) != input_dim:
+                continue   # converted for another extractor's dim
             if "meta" in data:
                 dim, n_layers, heads = (int(v) for v in data["meta"][:3])
             else:
                 dim, n_layers, heads = 256, 9, 4
             lg = LightGlue(input_dim=input_dim, dim=dim,
                            n_layers=n_layers, heads=heads)
-            inner = jax.tree.map(jnp.asarray, data["params"].item())
             # the npz stores the bare param tree; flax apply() wants the
             # {"params": ...} variables dict (tests/test_lightglue_dropin)
             lg.params = {"params": inner}
-        else:
-            raise ImportError("lightglue weights not available")
+            break
+        if lg is None:
+            raise ImportError("lightglue weights not available for "
+                              f"{input_dim}-d descriptors")
         _LG_CACHE[input_dim] = lg
     return _LG_CACHE[input_dim].match(feats0, feats1, filter_threshold)
 
@@ -359,9 +381,18 @@ def convert_torch_checkpoint(path_in, path_out=None, heads: int = 4) -> Dict:
                        if k.startswith("transformers."))
     dim = int(np.asarray(sd["input_proj.weight"]).shape[0])
     params = load_torch_weights(sd, n_layers=n_layers)
-    out = path_out or (WEIGHTS_DIR / "lightglue.npz")
-    Path(out).parent.mkdir(parents=True, exist_ok=True)
-    np.savez(out, params=np.asarray(
+    in_dim = int(np.asarray(sd["input_proj.weight"]).shape[1])
+    packed = dict(params=np.asarray(
         jax.tree.map(np.asarray, params["params"]), dtype=object),
         meta=np.asarray([dim, n_layers, heads], np.int32))
+    if path_out:
+        Path(path_out).parent.mkdir(parents=True, exist_ok=True)
+        np.savez(path_out, **packed)
+    else:
+        WEIGHTS_DIR.mkdir(parents=True, exist_ok=True)
+        # dim-keyed name (several extractor-specific checkpoints can
+        # coexist) + the legacy name so weights_available('lightglue')
+        # and older flows keep working
+        np.savez(WEIGHTS_DIR / f"lightglue_d{in_dim}.npz", **packed)
+        np.savez(WEIGHTS_DIR / "lightglue.npz", **packed)
     return params

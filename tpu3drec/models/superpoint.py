@@ -177,6 +177,25 @@ def load_torch_weights(state_dict: Dict[str, Any]) -> Dict:
     return {"params": params}
 
 
+def convert_torch_checkpoint(path_in, path_out=None) -> Dict:
+    """CLI helper: torch superpoint_v1.pth -> superpoint.npz in the
+    weights dir (the converter-fleet counterpart of disk/aliked/lightglue;
+    reference downloads this checkpoint at runtime,
+    deep_learning_detectors.py:82)."""
+    import torch
+    from pathlib import Path
+    from tpu3drec.models import WEIGHTS_DIR
+    sd = torch.load(path_in, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    params = load_torch_weights({k: np.asarray(v) for k, v in sd.items()})
+    out = path_out or (WEIGHTS_DIR / "superpoint.npz")
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, params=np.asarray(
+        jax.tree.map(np.asarray, params), dtype=object))
+    return params
+
+
 def detect_superpoint_features(img, max_features: int = 2048,
                                keypoint_threshold: float = 0.005,
                                nms_radius: int = 4, **_unused) -> Features:
