@@ -136,3 +136,21 @@ def test_sharded_ba_reference_scale():
                                rtol=5e-3, atol=5e-3)
     # the solve moved toward the data from the jittered start
     assert float(res.cost_final) < float(res.cost_initial)
+
+
+def test_pipeline_global_ba_shards_over_mesh():
+    """Production path: SfMPipeline's final global BA routes through
+    sharded_bundle_adjust on a multi-device mesh (the reference has no
+    distributed BA at all — SURVEY §2.7)."""
+    from tpu3drec.bench.synthetic import make_sfm_scene
+    from tpu3drec.sfm import SfMPipeline
+    from tpu3drec.sfm.pipeline import SfMConfig
+
+    matches_data, info, _ = make_sfm_scene(n_views=5, n_pts=500)
+    cfg = SfMConfig(use_sharded_global_ba=True, sharded_ba_min_obs=0)
+    pipe = SfMPipeline(cfg)
+    recon = pipe.reconstruct(dict(matches_data), info)
+    assert recon.num_cameras == 5
+    ga = [h for h in pipe.history if h.get("phase") == "global_ba"]
+    assert ga and ga[-1].get("sharded") == 8, ga
+    assert ga[-1]["mean_reproj_px"] < 2.0

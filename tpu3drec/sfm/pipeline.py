@@ -55,6 +55,15 @@ class SfMConfig:
     # enough correspondences are found
     mine_tolerance_ladder: Tuple[float, ...] = (2.0, 4.0, 8.0)
     incremental_ba_window: int = 3       # last <=3 cameras (:1327-1341)
+    # windowed BA solves the REDUCED local problem (window points + their
+    # anchoring observations) instead of freezing most of a full-map pack
+    # — per-view BA stays ~constant instead of growing with the map
+    use_local_ba: bool = True
+    # final global BA polish shards point blocks over the device mesh
+    # when >1 device is visible and the problem is big enough to beat
+    # the shard_map overhead (parallel/ba.py)
+    use_sharded_global_ba: bool = True
+    sharded_ba_min_obs: int = 20_000
     ba_max_iters: int = 20
     global_ba_max_iters: int = 30
     optimize_intrinsics: bool = False
@@ -778,21 +787,68 @@ class SfMPipeline:
         from tpu3drec.ops.ba import bundle_adjust, BAConfig
         if recon.num_points == 0 or recon.num_observations < 10:
             return {"skipped": True}
-        prob, names = recon.to_ba_problem(
-            optimize_cams=optimize_cams, fix_first=True,
-            optimize_intrinsics=self.config.optimize_intrinsics)
-        res = bundle_adjust(prob, BAConfig(
-            max_iters=max_iters,
-            optimize_intrinsics=self.config.optimize_intrinsics))
-        recon.update_from_ba(np.asarray(res.cam_params),
-                             np.asarray(res.points), names)
+        if optimize_cams is not None and self.config.use_local_ba:
+            # windowed incremental BA on the REDUCED problem (points seen
+            # by the window + all their anchoring observations) — the
+            # full-map pack made per-view BA cost grow with the whole
+            # reconstruction, O(V^2) over a folder
+            prob, names, pids = recon.to_local_ba_problem(
+                optimize_cams, fix_first=True,
+                optimize_intrinsics=self.config.optimize_intrinsics)
+            res = bundle_adjust(prob, BAConfig(
+                max_iters=max_iters,
+                optimize_intrinsics=self.config.optimize_intrinsics))
+            recon.update_from_local_ba(np.asarray(res.cam_params),
+                                       np.asarray(res.points), names, pids)
+        else:
+            prob, names = recon.to_ba_problem(
+                optimize_cams=optimize_cams, fix_first=True,
+                optimize_intrinsics=self.config.optimize_intrinsics)
+            res = bundle_adjust(prob, BAConfig(
+                max_iters=max_iters,
+                optimize_intrinsics=self.config.optimize_intrinsics))
+            recon.update_from_ba(np.asarray(res.cam_params),
+                                 np.asarray(res.points), names)
         return {"cost_initial": float(res.cost_initial),
                 "cost_final": float(res.cost_final),
                 "iterations": int(res.iterations),
                 "mean_reproj_px": float(res.mean_reproj_px)}
 
     def _global_ba(self, recon: Reconstruction) -> Dict:
-        """GlobalBundleAdjuster equivalent (bundle_adjusment.py:414-502)."""
+        """GlobalBundleAdjuster equivalent (bundle_adjusment.py:414-502).
+
+        On a multi-device mesh the final global polish runs the SHARDED
+        Schur-CG solve (parallel/ba.py): points/observations split over
+        the data axis, cameras replicated — the reference has no
+        distributed BA at all (SURVEY §2.7). Gated on problem size so
+        tiny reconstructions skip the shard_map overhead.
+        """
+        import jax
+        if (self.config.use_sharded_global_ba
+                and len(jax.devices()) > 1
+                and recon.num_observations
+                >= self.config.sharded_ba_min_obs
+                and recon.num_points >= 10
+                and recon.num_observations >= 10):
+            from tpu3drec.ops.ba import BAConfig
+            from tpu3drec.parallel.ba import sharded_bundle_adjust
+            from tpu3drec.parallel.mesh import make_mesh
+            prob, names = recon.to_ba_problem(
+                optimize_cams=None, fix_first=True,
+                optimize_intrinsics=self.config.optimize_intrinsics)
+            mesh = make_mesh(jax.devices(),
+                             shape=(len(jax.devices()), 1))
+            res = sharded_bundle_adjust(prob, mesh, BAConfig(
+                max_iters=self.config.global_ba_max_iters,
+                schur_solver="cg",
+                optimize_intrinsics=self.config.optimize_intrinsics))
+            recon.update_from_ba(np.asarray(res.cam_params),
+                                 np.asarray(res.points), names)
+            return {"cost_initial": float(res.cost_initial),
+                    "cost_final": float(res.cost_final),
+                    "iterations": int(res.iterations),
+                    "mean_reproj_px": float(res.mean_reproj_px),
+                    "sharded": len(jax.devices())}
         return self._run_ba(recon, optimize_cams=None,
                             max_iters=self.config.global_ba_max_iters)
 

@@ -303,44 +303,99 @@ class Reconstruction:
         if not optimize_intrinsics:
             pm[:, 6:] = 0.0
 
-        # pad every axis to coarse buckets: incremental SfM grows C/P/M
-        # each view and exact shapes would recompile the whole BA program
-        # every time (seconds per shape through the remote-compile path).
-        # Padded cameras are frozen via param_mask, padded points via
-        # point_mask, padded observations via obs_mask.
-        def _buck(n, minimum, factor=4):
-            b = minimum
-            while b < n:
-                b *= factor
-            return b
+        return _pad_ba_problem(cams, pts, obs_cam, obs_pt, obs_uv,
+                               pm), names
 
-        C, P, M = len(names), len(pts), len(obs_cam)
-        Cp = _buck(max(C, 1), 8, 2)
-        Pp = _buck(max(P, 1), 1024)
-        Mp = _buck(max(M, 1), 4096)
-        cams_p = np.zeros((Cp, 10), np.float32)
-        cams_p[:C] = cams
-        cams_p[C:, 6:8] = 1.0  # benign fx, fy for frozen pad cameras
-        pts_p = np.zeros((Pp, 3), np.float32)
-        pts_p[:P] = pts
-        pm_p = np.zeros((Cp, 10), np.float32)
-        pm_p[:C] = pm
-        oc = np.zeros(Mp, np.int32)
-        op = np.zeros(Mp, np.int32)
-        ouv_p = np.zeros((Mp, 2), np.float32)
-        oc[:M], op[:M], ouv_p[:M] = obs_cam, obs_pt, obs_uv
+    def to_local_ba_problem(self, optimize_cams: List[str],
+                            fix_first: bool = True,
+                            optimize_intrinsics: bool = True):
+        """Windowed ('local') BA problem: the map-wide analogue of the
+        reference's last-<=3-cameras BA (bundle_adjusment.py:49-113) that
+        also SHRINKS THE PROBLEM instead of only freezing parameters.
 
-        prob = BAProblem(
-            cam_params=jnp.asarray(cams_p),
-            points=jnp.asarray(pts_p),
-            obs_cam=jnp.asarray(oc),
-            obs_pt=jnp.asarray(op),
-            obs_uv=jnp.asarray(ouv_p),
-            obs_mask=jnp.asarray(np.arange(Mp) < M),
-            param_mask=jnp.asarray(pm_p),
-            point_mask=jnp.asarray(np.arange(Pp) < P),
-        )
-        return prob, names
+        to_ba_problem(optimize_cams=...) packs every observation in the
+        map and lets the param mask freeze the rest, so incremental BA
+        cost grows with the whole reconstruction — O(total obs) per view,
+        O(V^2) over a folder. Local BA packs only
+          - points seen by a window camera,
+          - ALL observations of those points (frozen anchor cameras
+            included, so the local points stay pinned to the global map),
+          - the cameras appearing in those observations,
+        which is ~constant per view for sequential covisibility.
+
+        Returns (prob, cam_names_subset, local_point_ids); apply results
+        with update_from_local_ba.
+        """
+        import jax.numpy as jnp  # noqa: F401  (parity with to_ba_problem)
+        names = sorted(self.cameras)
+        cam_idx = {n: i for i, n in enumerate(names)}
+        from tpu3drec.ops.lie import log_so3_np
+        lut = np.asarray([cam_idx[n] for n in self.camera_names()],
+                         np.int32)
+        ocam, opid, ouv = self.obs_arrays()
+        obs_cam_all = lut[ocam] if len(ocam) else np.zeros(0, np.int32)
+        opid = np.asarray(opid, np.int32)
+
+        free_ids = np.asarray(sorted(cam_idx[n] for n in optimize_cams
+                                     if n in cam_idx), np.int32)
+        win_mask = np.isin(obs_cam_all, free_ids)
+        local_pts = np.unique(opid[win_mask])
+        obs_keep = np.isin(opid, local_pts)
+        sub_cam_ids = np.unique(obs_cam_all[obs_keep])
+        sub_names = [names[int(i)] for i in sub_cam_ids]
+
+        cam_remap = np.full(len(names), -1, np.int32)
+        cam_remap[sub_cam_ids] = np.arange(len(sub_cam_ids), dtype=np.int32)
+        pt_remap = np.full(self.num_points, -1, np.int32)
+        pt_remap[local_pts] = np.arange(len(local_pts), dtype=np.int32)
+
+        Rs = np.stack([self.cameras[n].R for n in sub_names])
+        rvecs = log_so3_np(Rs).astype(np.float32)
+        cams = np.concatenate([
+            rvecs,
+            np.stack([self.cameras[n].t for n in sub_names])
+            .astype(np.float32),
+            np.stack([[self.cameras[n].K[0, 0], self.cameras[n].K[1, 1],
+                       self.cameras[n].K[0, 2], self.cameras[n].K[1, 2]]
+                      for n in sub_names]).astype(np.float32),
+        ], axis=1)
+        pts = self._pts.view[local_pts].astype(np.float32)
+        obs_cam = cam_remap[obs_cam_all[obs_keep]]
+        obs_pt = pt_remap[opid[obs_keep]]
+        obs_uv = np.asarray(ouv, np.float32)[obs_keep]
+
+        free_local = set(cam_remap[free_ids].tolist())
+        pm = np.zeros((len(sub_names), 10), np.float32)
+        for i in range(len(sub_names)):
+            if i in free_local:
+                pm[i] = 1.0
+        # gauge: anchor cameras (outside the window) are frozen; when
+        # the window covers everything (early views), fall back to the
+        # fix-first-camera gauge
+        if fix_first and len(free_local) == len(sub_names) and len(pm):
+            pm[0] = 0.0
+        if not optimize_intrinsics:
+            pm[:, 6:] = 0.0
+
+        return (_pad_ba_problem(cams, pts, obs_cam, obs_pt, obs_uv, pm),
+                sub_names, local_pts)
+
+    def update_from_local_ba(self, cam_params: np.ndarray,
+                             points: np.ndarray, names: List[str],
+                             point_ids: np.ndarray) -> None:
+        """Write back a local BA's camera subset + point subset."""
+        from tpu3drec.ops.lie import exp_so3_np
+        cam_params = np.asarray(cam_params, np.float64)
+        Rs = exp_so3_np(cam_params[:len(names), :3])
+        for i, n in enumerate(names):
+            p = cam_params[i]
+            self.cameras[n].R = Rs[i]
+            self.cameras[n].t = p[3:6].copy()
+            self.cameras[n].K = np.array([[p[6], 0.0, p[8]],
+                                          [0.0, p[7], p[9]],
+                                          [0.0, 0.0, 1.0]])
+        pts = np.asarray(points, np.float64)
+        self._pts.view[point_ids] = pts[:len(point_ids)]
 
     def update_from_ba(self, cam_params: np.ndarray, points: np.ndarray,
                        names: List[str]) -> None:
@@ -439,3 +494,49 @@ class Reconstruction:
         export_sparse_model(output_dir, cams, self.points_array(),
                             self._cols.view if len(self._cols) else None,
                             obs)
+
+
+def _pad_ba_problem(cams, pts, obs_cam, obs_pt, obs_uv, pm):
+    """Bucket-pad BA arrays into a static-shape BAProblem.
+
+    Coarse power buckets: incremental SfM grows C/P/M every view and
+    exact shapes would recompile the whole BA program each time (seconds
+    per shape through the remote-compile path). Padded cameras are
+    frozen via param_mask, padded points via point_mask, padded
+    observations via obs_mask.
+    """
+    import jax.numpy as jnp
+    from tpu3drec.ops.ba import BAProblem
+
+    def _buck(n, minimum, factor=4):
+        b = minimum
+        while b < n:
+            b *= factor
+        return b
+
+    C, P, M = len(cams), len(pts), len(obs_cam)
+    Cp = _buck(max(C, 1), 8, 2)
+    Pp = _buck(max(P, 1), 1024)
+    Mp = _buck(max(M, 1), 4096)
+    cams_p = np.zeros((Cp, 10), np.float32)
+    cams_p[:C] = cams
+    cams_p[C:, 6:8] = 1.0  # benign fx, fy for frozen pad cameras
+    pts_p = np.zeros((Pp, 3), np.float32)
+    pts_p[:P] = pts
+    pm_p = np.zeros((Cp, 10), np.float32)
+    pm_p[:C] = pm
+    oc = np.zeros(Mp, np.int32)
+    op = np.zeros(Mp, np.int32)
+    ouv_p = np.zeros((Mp, 2), np.float32)
+    oc[:M], op[:M], ouv_p[:M] = obs_cam, obs_pt, obs_uv
+
+    return BAProblem(
+        cam_params=jnp.asarray(cams_p),
+        points=jnp.asarray(pts_p),
+        obs_cam=jnp.asarray(oc),
+        obs_pt=jnp.asarray(op),
+        obs_uv=jnp.asarray(ouv_p),
+        obs_mask=jnp.asarray(np.arange(Mp) < M),
+        param_mask=jnp.asarray(pm_p),
+        point_mask=jnp.asarray(np.arange(Pp) < P),
+    )
