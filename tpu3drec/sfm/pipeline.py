@@ -787,7 +787,11 @@ class SfMPipeline:
         from tpu3drec.ops.ba import bundle_adjust, BAConfig
         if recon.num_points == 0 or recon.num_observations < 10:
             return {"skipped": True}
-        if optimize_cams is not None and self.config.use_local_ba:
+        ocam_names = set(recon.cameras)
+        window_has_obs = optimize_cams is not None and any(
+            n in ocam_names and len(recon.camera_obs_arrays(n)[0])
+            for n in optimize_cams)
+        if window_has_obs and self.config.use_local_ba:
             # windowed incremental BA on the REDUCED problem (points seen
             # by the window + all their anchoring observations) — the
             # full-map pack made per-view BA cost grow with the whole
