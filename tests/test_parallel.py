@@ -141,3 +141,42 @@ def test_ring_knn2_matches_single_device():
     np.testing.assert_array_equal(idx[valid], np.asarray(ref_idx)[valid])
     np.testing.assert_allclose(dist[valid], np.asarray(ref_dist)[valid],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_stereo_matches_serial():
+    """Dense stage multi-chip (parallel/dense.py): one stereo pair per
+    device over dp, parity vs serial per-pair dispatch of the SAME
+    program. shard_map keeps each device on the unbatched gather form
+    (vmap over pairs is the measured 7x dead end)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu3drec.parallel.mesh import make_mesh
+    from tpu3drec.parallel.dense import sharded_pairwise_stereo
+    from tpu3drec.ops.stereo import stereo_depth_pair
+
+    rng = np.random.default_rng(5)
+    h, w = 96, 128
+    base = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    import cv2
+    base = cv2.GaussianBlur(base, (5, 5), 1.0)
+    K = np.array([[150, 0, w / 2], [0, 150, h / 2], [0, 0, 1]], np.float32)
+    neighbours = []
+    for i, bx in enumerate((-0.1, 0.1, -0.2)):
+        img2 = np.roll(base, int(bx * 50), axis=1)
+        neighbours.append((img2, K, np.eye(3, dtype=np.float32),
+                          np.array([bx, 0, 0], np.float32), None))
+
+    mesh = make_mesh(jax.devices(), shape=(8, 1))
+    outs = sharded_pairwise_stereo(mesh, base, neighbours, K,
+                                   num_disparities=32)
+    assert len(outs) == 3
+    for (img2, K2, R, t, _), got in zip(neighbours, outs):
+        ref = stereo_depth_pair(jnp.asarray(base), jnp.asarray(img2),
+                                jnp.asarray(K), jnp.asarray(K2),
+                                jnp.asarray(R), jnp.asarray(t),
+                                num_disparities=32)
+        np.testing.assert_allclose(got["depth"], np.asarray(ref["depth"]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(got["valid"],
+                                      np.asarray(ref["valid"]))

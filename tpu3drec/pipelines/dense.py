@@ -47,7 +47,12 @@ class DenseReconstructionPipeline:
                  mesh_stride: int = 2,
                  tsdf_resolution: int = 96,
                  outlier_k: int = 20, outlier_std: float = 2.0,
-                 max_cloud_points: int = 200_000):
+                 max_cloud_points: int = 200_000,
+                 use_sharded_stereo: bool = True):
+        # multi-device: one stereo pair per chip over the mesh data axis
+        # (parallel/dense.py); vmap over pairs is the measured 7x dead
+        # end, shard_map keeps each device on the unbatched gather form
+        self.use_sharded_stereo = use_sharded_stereo
         self.num_disparities = num_disparities
         self.fusion_method = fusion_method
         self.voxel_size = voxel_size
@@ -101,23 +106,52 @@ class DenseReconstructionPipeline:
         # cached executable wins.
         depths, valids, baselines = [], [], []
         per_view = {}
-        for n in names:
-            if n == ref:
-                continue
-            K2, R2, t2 = cam_of(n)
-            # relative pose: x2 = R_rel x_ref + t_rel
-            R_rel = R2 @ R_ref.T
-            t_rel = t2 - R_rel @ t_ref
-            out = stereo_depth_pair(
-                img_ref, jnp.asarray(np.asarray(images[n], np.float32)),
-                jnp.asarray(K_ref.astype(np.float32)),
-                jnp.asarray(K2.astype(np.float32)),
-                jnp.asarray(R_rel.astype(np.float32)),
-                jnp.asarray(t_rel.astype(np.float32)),
+        others = [n for n in names if n != ref]
+
+        import jax as _jax
+        if (self.use_sharded_stereo and len(_jax.devices()) > 1
+                and len(others) > 1):
+            # one pair per device along dp (parallel/dense.py)
+            from tpu3drec.parallel.dense import sharded_pairwise_stereo
+            from tpu3drec.parallel.mesh import make_mesh
+            neigh = []
+            for n in others:
+                K2, R2, t2 = cam_of(n)
+                R_rel = R2 @ R_ref.T
+                t_rel = t2 - R_rel @ t_ref
+                neigh.append((np.asarray(images[n], np.float32),
+                              K2.astype(np.float32),
+                              R_rel.astype(np.float32),
+                              t_rel.astype(np.float32), None))
+            # size the mesh row to the pair count: padding pairs to a
+            # full device row wastes real compute per padded slot
+            ndev = min(len(_jax.devices()), len(neigh))
+            mesh = make_mesh(_jax.devices()[:ndev], shape=(ndev, 1))
+            outs = sharded_pairwise_stereo(
+                mesh, np.asarray(images[ref], np.float32), neigh,
+                K_ref.astype(np.float32),
                 num_disparities=self.num_disparities)
-            depths.append(out["depth"])
-            valids.append(out["valid"])
-            baselines.append(out["baseline"])
+            for out in outs:
+                depths.append(jnp.asarray(out["depth"]))
+                valids.append(jnp.asarray(out["valid"]))
+                baselines.append(out["baseline"])
+        else:
+            for n in others:
+                K2, R2, t2 = cam_of(n)
+                # relative pose: x2 = R_rel x_ref + t_rel
+                R_rel = R2 @ R_ref.T
+                t_rel = t2 - R_rel @ t_ref
+                out = stereo_depth_pair(
+                    img_ref,
+                    jnp.asarray(np.asarray(images[n], np.float32)),
+                    jnp.asarray(K_ref.astype(np.float32)),
+                    jnp.asarray(K2.astype(np.float32)),
+                    jnp.asarray(R_rel.astype(np.float32)),
+                    jnp.asarray(t_rel.astype(np.float32)),
+                    num_disparities=self.num_disparities)
+                depths.append(out["depth"])
+                valids.append(out["valid"])
+                baselines.append(out["baseline"])
         # materialize AFTER the loop: a float()/np.asarray() inside the
         # loop is a host sync that serializes the per-pair dispatches
         baselines = [float(np.asarray(b)) for b in baselines]
