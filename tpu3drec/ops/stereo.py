@@ -139,6 +139,13 @@ def sgm_aggregate_batch(volumes: jnp.ndarray, p1x100: int = 15,
     lax.scans (one over columns, one over rows) instead of 4B — the
     left/right-view pair of the LR-consistency check rides in one pass.
     """
+    import os
+    if os.environ.get("TPU3DREC_PALLAS_SGM"):
+        # Pallas DP kernel (ops/pallas_sgm.py): scan -> kernel grid,
+        # carry in VMEM scratch. Env-gated until the TPU measurement
+        # lands (read at trace time).
+        from tpu3drec.ops.pallas_sgm import sgm_aggregate_batch_pallas
+        return sgm_aggregate_batch_pallas(volumes, p1x100, p2x100)
     p1, p2 = p1x100 / 100.0, p2x100 / 100.0
     v = jnp.transpose(volumes, (3, 0, 2, 1))         # (W, B, H, D)
     agg_h = _sgm_bidir(v, p1, p2)                     # L->R + R->L
