@@ -238,19 +238,25 @@ def bench_deep():
         m = lg.match(f1, f2)
         return jnp.sum(m.mask.astype(jnp.int32))
 
-    batched = jax.jit(jax.vmap(pair_fn))
-    imgs1 = jnp.asarray(np.stack([synthetic_photo(H, W, i)
-                                  for i in range(B)]))
-    imgs2 = jnp.asarray(np.stack([synthetic_photo(H, W, 100 + i)
-                                  for i in range(B)]))
-    _ = np.asarray(batched(imgs1, imgs2))        # compile
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        _ = np.asarray(batched(imgs1, imgs2))
-    dt = (time.perf_counter() - t0) / REPS
+    # the package-wide matmul precision=highest guard exists for f32
+    # GEOMETRY; neural-net inference tolerates native bf16 MXU passes
+    # (1 pass vs 6) — BENCH_DEEP_PRECISION overrides for the deep stage
+    # (default|tensorfloat32|highest)
+    prec = os.environ.get("BENCH_DEEP_PRECISION", "highest")
+    with jax.default_matmul_precision(prec):
+        batched = jax.jit(jax.vmap(pair_fn))
+        imgs1 = jnp.asarray(np.stack([synthetic_photo(H, W, i)
+                                      for i in range(B)]))
+        imgs2 = jnp.asarray(np.stack([synthetic_photo(H, W, 100 + i)
+                                      for i in range(B)]))
+        _ = np.asarray(batched(imgs1, imgs2))        # compile
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            _ = np.asarray(batched(imgs1, imgs2))
+        dt = (time.perf_counter() - t0) / REPS
     print(json.dumps({
         "metric": f"deep pairs/s SuperPoint+LightGlue (1K kpts, 640x480,"
-                  f" batch {B})",
+                  f" batch {B}, matmul {prec})",
         "value": round(B / dt, 3),
         "unit": "pairs/s",
         "vs_reference_cpu_s_per_pair": 9.3,
