@@ -180,3 +180,37 @@ def test_sharded_stereo_matches_serial():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(got["valid"],
                                       np.asarray(ref["valid"]))
+
+
+def test_sharded_stereo_chunks_when_pairs_exceed_devices():
+    """n pairs > dp: ceil(n/dp) dispatches, all results correct."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu3drec.parallel.mesh import make_mesh
+    from tpu3drec.parallel.dense import sharded_pairwise_stereo
+    from tpu3drec.ops.stereo import stereo_depth_pair
+
+    rng = np.random.default_rng(9)
+    h, w = 64, 96
+    import cv2
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 1, (h, w)).astype(np.float32), (5, 5), 1.0)
+    K = np.array([[120, 0, w / 2], [0, 120, h / 2], [0, 0, 1]], np.float32)
+    neighbours = []
+    for bx in (-0.1, 0.1, -0.15, 0.15, 0.2, -0.2):
+        img2 = np.roll(base, int(bx * 40), axis=1)
+        neighbours.append((img2, K, np.eye(3, dtype=np.float32),
+                          np.array([bx, 0, 0], np.float32), None))
+
+    mesh = make_mesh(jax.devices()[:4], shape=(4, 1))  # 6 pairs on dp=4
+    outs = sharded_pairwise_stereo(mesh, base, neighbours, K,
+                                   num_disparities=16)
+    assert len(outs) == 6
+    for (img2, K2, R, t, _), got in zip(neighbours, outs):
+        ref = stereo_depth_pair(jnp.asarray(base), jnp.asarray(img2),
+                                jnp.asarray(K), jnp.asarray(K2),
+                                jnp.asarray(R), jnp.asarray(t),
+                                num_disparities=16)
+        np.testing.assert_allclose(got["depth"], np.asarray(ref["depth"]),
+                                   rtol=1e-4, atol=1e-4)
