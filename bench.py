@@ -226,10 +226,14 @@ def bench_deep():
 
     B = int(os.environ.get("BENCH_DEEP_BATCH", "32"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
+    # models carry their own matmul-precision context now, so the env
+    # knob must flow through the constructors (an outer context manager
+    # would be shadowed by the models' inner one)
+    prec = os.environ.get("BENCH_DEEP_PRECISION", "default")
     N, H, W = 1024, 480, 640
-    sp = SuperPoint(max_features=N)
+    sp = SuperPoint(max_features=N, matmul_precision=prec)
     sp.init_random((H, W))
-    lg = LightGlue(input_dim=256)
+    lg = LightGlue(input_dim=256, matmul_precision=prec)
     lg.init_random()
 
     def pair_fn(img1, img2):
@@ -239,10 +243,10 @@ def bench_deep():
         return jnp.sum(m.mask.astype(jnp.int32))
 
     # the package-wide matmul precision=highest guard exists for f32
-    # GEOMETRY; neural-net inference tolerates native bf16 MXU passes
-    # (1 pass vs 6) — BENCH_DEEP_PRECISION overrides for the deep stage
-    # (default|tensorfloat32|highest)
-    prec = os.environ.get("BENCH_DEEP_PRECISION", "highest")
+    # GEOMETRY; neural-net inference runs native bf16 MXU passes (1 pass
+    # vs 6 — measured 2.0x: 68.2 -> 137.1 pairs/s, r4) via the models'
+    # matmul_precision="default". The outer context covers the non-model
+    # glue (top_k, bilinear sampling) only.
     with jax.default_matmul_precision(prec):
         batched = jax.jit(jax.vmap(pair_fn))
         imgs1 = jnp.asarray(np.stack([synthetic_photo(H, W, i)

@@ -243,11 +243,14 @@ def sddh_descriptors(params: Dict, feat: jnp.ndarray,
 class ALIKEDN16:
     def __init__(self, params: Optional[Dict] = None,
                  max_features: int = 2048, nms_radius: int = 2,
-                 threshold: float = 0.0):
+                 threshold: float = 0.0,
+                 matmul_precision: str = "default"):
         self.params = params
         self.max_features = max_features
         self.nms_radius = nms_radius
         self.threshold = threshold
+        # backbone convs at native MXU precision (see models/superpoint.py)
+        self.matmul_precision = matmul_precision
 
     def extract(self, image: jnp.ndarray) -> Features:
         from jax import lax
@@ -257,7 +260,8 @@ class ALIKEDN16:
         ph, pw = (-h) % 32, (-w) % 32
         x = jnp.pad(image, ((0, ph), (0, pw)))[:, :, None]
         x = jnp.repeat(x, 3, axis=-1)
-        score, feat = forward_dense(self.params, x)
+        with jax.default_matmul_precision(self.matmul_precision):
+            score, feat = forward_dense(self.params, x)
         score = score[:h, :w]
         win = 2 * self.nms_radius + 1
         pooled = lax.reduce_window(score, -jnp.inf, lax.max,

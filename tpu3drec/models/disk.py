@@ -109,12 +109,15 @@ class DISK:
 
     def __init__(self, params: Optional[Dict] = None,
                  max_features: int = 2048, nms_radius: int = 2,
-                 threshold: float = 0.0):
+                 threshold: float = 0.0,
+                 matmul_precision: str = "default"):
         self.net = DISKNet()
         self.params = params
         self.max_features = max_features
         self.nms_radius = nms_radius
         self.threshold = threshold
+        # U-Net convs at native MXU precision (see models/superpoint.py)
+        self.matmul_precision = matmul_precision
 
     def init_random(self, image_shape: Tuple[int, int], seed: int = 0):
         x = jnp.zeros((1,) + tuple(image_shape) + (3,), jnp.float32)
@@ -129,7 +132,8 @@ class DISK:
         ph, pw = (-h) % 16, (-w) % 16
         x = jnp.pad(image, ((0, ph), (0, pw)))[None, :, :, None]
         x = jnp.repeat(x, 3, axis=-1)   # grayscale -> RGB input
-        heat, desc = self.net.apply(self.params, x)
+        with jax.default_matmul_precision(self.matmul_precision):
+            heat, desc = self.net.apply(self.params, x)
         heat = heat[0, :h, :w]
         win = 2 * self.nms_radius + 1
         pooled = lax.reduce_window(heat, -jnp.inf, lax.max,

@@ -207,10 +207,15 @@ class LightGlue:
     """Inference wrapper producing Matches with CONFIDENCE scores."""
 
     def __init__(self, params: Optional[Dict] = None, dim: int = 256,
-                 n_layers: int = 9, heads: int = 4, input_dim: int = 256):
+                 n_layers: int = 9, heads: int = 4, input_dim: int = 256,
+                 matmul_precision: str = "default"):
         self.net = LightGlueNet(dim=dim, n_layers=n_layers, heads=heads)
         self.params = params
         self.input_dim = input_dim
+        # attention/MLP matmuls at native MXU precision (see
+        # models/superpoint.py — 2.0x measured on the deep stage);
+        # "highest" restores full-f32 passes
+        self.matmul_precision = matmul_precision
 
     def init_random(self, n: int = 32, seed: int = 0) -> Dict:
         k = jax.random.PRNGKey(seed)
@@ -222,7 +227,8 @@ class LightGlue:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _forward(self, params, d0, d1, xy0, xy1, m0, m1):
-        return self.net.apply(params, d0, d1, xy0, xy1, m0, m1)
+        with jax.default_matmul_precision(self.matmul_precision):
+            return self.net.apply(params, d0, d1, xy0, xy1, m0, m1)
 
     def match(self, feats0: Features, feats1: Features,
               filter_threshold: float = 0.1) -> Matches:

@@ -22,10 +22,11 @@ use static pltpu-friendly rolls via jnp.concatenate on the 64-lane
 logical axis; P1/P2 are static python floats; no traced constants are
 captured.
 
-Ship gated: `sgm_aggregate_batch(..., backend='pallas')` or env
-TPU3DREC_PALLAS_SGM=1 routes the stereo path here; interpret-mode
-parity with the XLA form is asserted in tests/test_pallas_sgm.py. The
-default stays XLA until the TPU measurement lands.
+DEFAULT ON TPU since the round-4 measurement: dense stage 2.547 MP/s
+via this kernel vs 2.244 MP/s via the XLA scan (median of 3, bench.py
+BENCH_STAGES=dense). TPU3DREC_PALLAS_SGM=0 restores the XLA form;
+=1 forces the kernel off-TPU (interpret mode). Interpret-mode parity
+with the XLA form is asserted in tests/test_pallas_sgm.py.
 """
 
 from __future__ import annotations

@@ -140,12 +140,19 @@ def sgm_aggregate_batch(volumes: jnp.ndarray, p1x100: int = 15,
     left/right-view pair of the LR-consistency check rides in one pass.
     """
     import os
-    if os.environ.get("TPU3DREC_PALLAS_SGM"):
+    gate = os.environ.get("TPU3DREC_PALLAS_SGM", "")
+    use_pallas = (gate not in ("", "0")) or (
+        gate != "0" and jax.default_backend() == "tpu")
+    if use_pallas:
         # Pallas DP kernel (ops/pallas_sgm.py): scan -> kernel grid,
-        # carry in VMEM scratch. Env-gated until the TPU measurement
-        # lands (read at trace time).
+        # carry in VMEM scratch. Default on TPU since the r4 measurement
+        # (dense stage 2.547 vs 2.244 MP/s for the XLA scan, median of
+        # 3); TPU3DREC_PALLAS_SGM=0 restores the XLA form, =1 forces the
+        # kernel (interpret-mode off-TPU). Read at trace time.
         from tpu3drec.ops.pallas_sgm import sgm_aggregate_batch_pallas
-        return sgm_aggregate_batch_pallas(volumes, p1x100, p2x100)
+        return sgm_aggregate_batch_pallas(
+            volumes, p1x100, p2x100,
+            interpret=jax.default_backend() != "tpu")
     p1, p2 = p1x100 / 100.0, p2x100 / 100.0
     v = jnp.transpose(volumes, (3, 0, 2, 1))         # (W, B, H, D)
     agg_h = _sgm_bidir(v, p1, p2)                     # L->R + R->L

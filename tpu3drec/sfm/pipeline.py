@@ -180,6 +180,7 @@ class SfMPipeline:
         self.selector = InitializationPairSelector(ScoringConfig())
         self.intrinsics = ProgressiveIntrinsicsEstimator()
         self.history: List[Dict] = []
+        self._view_timings: Dict[str, float] = {}
         # 2D-3D links pre-established for images that are not cameras yet
         # (track extension + bootstrap, reference triangulation.py:795-855):
         # image name -> list of (point_id, uv). Consumed by _mine_2d3d when
@@ -255,17 +256,22 @@ class SfMPipeline:
         while remaining:
             # 2D-3D-visibility-aware ordering against the growing cloud
             # (CPE/pipeline.py:1723-1984; VERDICT r2 #4)
+            t_rank = time.perf_counter()
             ranked = self.selector.rank_next_views(
                 remaining, list(recon.cameras), matches_data, recon=recon)
+            t_rank = time.perf_counter() - t_rank
             if not ranked or ranked[0][1] <= 0:
                 break
             name = ranked[0][0]
             t0 = time.perf_counter()
+            self._view_timings = {}
             added = self._add_view(recon, name, matches_data, image_info)
             remaining.remove(name)
             self.history.append({"phase": "add_view", "image": name,
                                  "success": added,
-                                 "time_s": time.perf_counter() - t0})
+                                 "time_s": time.perf_counter() - t0,
+                                 "rank_s": t_rank,
+                                 **self._view_timings})
             if added and ckpt_path is not None:
                 recon.save_state(ckpt_path)  # checkpoint after every view
 
@@ -519,7 +525,12 @@ class SfMPipeline:
             triangulate_two_view, TriangulationConfig,
         )
 
+        # per-phase wall timings land in the add_view history entry so a
+        # TPU run can say which program dominates the per-view cost
+        tdetail = self._view_timings = {}
+        t0 = time.perf_counter()
         uv, pids, leftovers = self._mine_2d3d(recon, name, matches_data)
+        tdetail["mine_s"] = time.perf_counter() - t0
         if len(uv) < self.config.min_pnp_correspondences:
             return False
         size = self._image_size(name, image_info, uv)
@@ -530,12 +541,15 @@ class SfMPipeline:
         X = _pad2(recon.points_array()[pids].astype(np.float32), cap)
         uv_p = _pad2(uv.astype(np.float32), cap)
         mask = np.arange(cap) < n
+        t0 = time.perf_counter()
         res = solve_pnp_ransac(jnp.asarray(X), jnp.asarray(uv_p),
                                jnp.asarray(K.astype(np.float32)),
                                mask=jnp.asarray(mask),
                                threshold_px=self.config.pnp_threshold_px,
                                key=jax.random.PRNGKey(len(recon.cameras)))
-        if not bool(res.success) or \
+        success = bool(res.success)
+        tdetail["pnp_s"] = time.perf_counter() - t0
+        if not success or \
                 int(res.num_inliers) < self.config.min_pnp_correspondences:
             return False
 
@@ -551,6 +565,7 @@ class SfMPipeline:
             min_angle_deg=self.config.min_angle_deg,
             max_reproj_px=self.config.max_reproj_px)
         n_new = 0
+        t0 = time.perf_counter()
         for other, new_xy, other_xy, left in leftovers:
             idx = np.where(left)[0]
             if len(idx) < 8:
@@ -576,19 +591,27 @@ class SfMPipeline:
             recon.add_observations_batch(other, ids, other_xy[idx[sel]])
             n_new += len(sel)
 
+        tdetail["tri_s"] = time.perf_counter() - t0
+
         # progressive triangulation of the new camera against unprocessed
         # images + track extension (triangulation.py:439-729, 795-855)
+        t0 = time.perf_counter()
         if self.config.enable_progressive:
             self._progressive_triangulate(recon, [name], matches_data,
                                           image_info)
+        tdetail["prog_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         if self.config.enable_track_extension:
             self._extend_tracks(recon, matches_data, only_camera=name)
+        tdetail["ext_s"] = time.perf_counter() - t0
 
         # incremental BA: last <=window cameras free, all points free
         # (dict preserves insertion order = processing order)
+        t0 = time.perf_counter()
         recent = list(recon.cameras)[-self.config.incremental_ba_window:]
         self._run_ba(recon, optimize_cams=recent,
                      max_iters=self.config.ba_max_iters)
+        tdetail["ba_s"] = time.perf_counter() - t0
         self.intrinsics.learn(recon.cameras[name].K, *size)
         return True
 
