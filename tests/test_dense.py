@@ -212,3 +212,49 @@ def test_dense_pipeline_end_to_end(tmp_path):
         assert (tmp_path / f).exists(), f
     report = json.loads((tmp_path / "dense_report.json").read_text())
     assert report["num_views"] == 2
+
+
+def test_fused_multi_pair_matches_serial():
+    """stereo_depth_pairs_fused == per-pair stereo_depth_pair + host
+    fuse_depth_maps (the single-dispatch program is a pure re-grouping
+    of the serial path's computations)."""
+    from tpu3drec.ops.stereo import stereo_depth_pair, stereo_depth_pairs_fused
+
+    left, right, _, _ = make_stereo_pair()
+    # second neighbour: the same pair at a slightly different baseline
+    left2, right2, _, _ = make_stereo_pair(seed=3)
+    K = np.array([[FOCAL, 0, W / 2], [0, FOCAL, H / 2], [0, 0, 1]],
+                 np.float32)
+    R = np.eye(3, dtype=np.float32)
+    ts = np.stack([np.array([-BASELINE, 0, 0], np.float32),
+                   np.array([-1.5 * BASELINE, 0, 0], np.float32)])
+    imgs = np.stack([right, right2])
+
+    depths, valids, baselines = [], [], []
+    for i in range(2):
+        out = stereo_depth_pair(jnp.asarray(left), jnp.asarray(imgs[i]),
+                                jnp.asarray(K), jnp.asarray(K),
+                                jnp.asarray(R), jnp.asarray(ts[i]),
+                                num_disparities=16)
+        depths.append(np.asarray(out["depth"]))
+        valids.append(np.asarray(out["valid"]))
+        baselines.append(float(np.asarray(out["baseline"])))
+    fused_ref, fv_ref = fuse_depth_maps(
+        jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(valids)),
+        jnp.asarray(np.asarray(baselines, np.float32)), method="weighted")
+
+    fout = stereo_depth_pairs_fused(
+        jnp.asarray(left), jnp.asarray(imgs), jnp.asarray(K),
+        jnp.asarray(np.stack([K, K])),
+        jnp.asarray(np.stack([R, R])), jnp.asarray(ts),
+        num_disparities=16, fusion="weighted")
+
+    np.testing.assert_allclose(np.asarray(fout["depths"]),
+                               np.stack(depths), rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(fout["valids"]), np.stack(valids))
+    np.testing.assert_allclose(np.asarray(fout["baselines"]),
+                               np.asarray(baselines), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fout["fused_depth"]),
+                               np.asarray(fused_ref), rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(fout["fused_valid"]),
+                          np.asarray(fv_ref))

@@ -196,23 +196,21 @@ class StereoResult(NamedTuple):
     valid: jnp.ndarray       # (H, W) bool
 
 
-@functools.partial(jax.jit, static_argnames=("num_disparities",))
-def stereo_depth_rectified(left: jnp.ndarray, right: jnp.ndarray,
-                           focal: jnp.ndarray, baseline: jnp.ndarray,
-                           num_disparities: int = 64,
-                           lr_max_diff: float = 1.5) -> StereoResult:
-    """SGBM-equivalent depth from a rectified pair: depth = f * B / d
-    (stereo_matching.py:97-104), with left-right consistency masking."""
-    vol = cost_volume(left, right, num_disparities)
-    # right-view volume: cost_R(d, y, x) = cost_L(d, y, x + d)
-    vol_r = jnp.stack([jnp.roll(vol[d], -d, axis=1)
-                       for d in range(num_disparities)])
-    # both views aggregate in ONE two-scan pass (8 scans -> 2)
-    agg2 = sgm_aggregate_batch(jnp.stack([vol, vol_r]))
-    disp, _ = winner_take_all(agg2[0])
-    disp_r, _ = winner_take_all(agg2[1])
+def _right_view_volume(vol: jnp.ndarray) -> jnp.ndarray:
+    """cost_R(d, y, x) = cost_L(d, y, x + d) via static rolls."""
+    return jnp.stack([jnp.roll(vol[d], -d, axis=1)
+                      for d in range(vol.shape[0])])
+
+
+def _wta_lr_depth(agg_l: jnp.ndarray, agg_r: jnp.ndarray,
+                  focal: jnp.ndarray, baseline: jnp.ndarray,
+                  lr_max_diff: float) -> StereoResult:
+    """Winner-take-all + left-right consistency + depth = f*B/d from the
+    aggregated left/right (D, H, W) volumes."""
+    disp, _ = winner_take_all(agg_l)
+    disp_r, _ = winner_take_all(agg_r)
     # LR check: disp_L(x) == disp_R(x - disp_L(x))
-    h, w = left.shape
+    _, h, w = agg_l.shape
     xs = jnp.arange(w)[None, :].astype(jnp.float32) - disp
     xs_i = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
     ys = jnp.arange(h, dtype=jnp.int32)[:, None]
@@ -225,6 +223,20 @@ def stereo_depth_rectified(left: jnp.ndarray, right: jnp.ndarray,
     depth = jnp.where(valid, focal * baseline / jnp.maximum(disp, 1e-6), 0.0)
     return StereoResult(disparity=jnp.where(valid, disp, 0.0),
                         depth=depth, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities",))
+def stereo_depth_rectified(left: jnp.ndarray, right: jnp.ndarray,
+                           focal: jnp.ndarray, baseline: jnp.ndarray,
+                           num_disparities: int = 64,
+                           lr_max_diff: float = 1.5) -> StereoResult:
+    """SGBM-equivalent depth from a rectified pair: depth = f * B / d
+    (stereo_matching.py:97-104), with left-right consistency masking."""
+    vol = cost_volume(left, right, num_disparities)
+    vol_r = _right_view_volume(vol)
+    # both views aggregate in ONE two-scan pass (8 scans -> 2)
+    agg2 = sgm_aggregate_batch(jnp.stack([vol, vol_r]))
+    return _wta_lr_depth(agg2[0], agg2[1], focal, baseline, lr_max_diff)
 
 
 @functools.partial(jax.jit, static_argnames=("num_disparities",))
@@ -247,6 +259,69 @@ def stereo_depth_pair(img1: jnp.ndarray, img2: jnp.ndarray,
             "depth": res.depth, "disparity": res.disparity,
             "valid": res.valid, "K_rectified": K_new,
             "H1": H1, "H2": H2, "baseline": baseline}
+
+
+# how many cost volumes share one SGM call in the fused multi-pair
+# program: the Pallas kernel's per-grid-step block is (1, 2*B*H, D) f32
+# (x3 for in/out/carry), so 8 volumes at 480x64 is ~6 MB of VMEM —
+# safely inside the budget while amortizing the sequential scan steps
+# over 4 pairs' worth of streams
+_SGM_MEGABATCH = 8
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "fusion"))
+def stereo_depth_pairs_fused(img_ref: jnp.ndarray, imgs: jnp.ndarray,
+                             K_ref: jnp.ndarray, K2s: jnp.ndarray,
+                             Rs: jnp.ndarray, ts: jnp.ndarray,
+                             num_disparities: int = 64,
+                             fusion: str = "weighted",
+                             lr_max_diff: float = 1.5) -> Dict:
+    """ALL neighbour pairs of a dense folder + depth fusion in ONE
+    program (stereo_matching.py:151-258's whole multi-view loop).
+
+    imgs (N, H, W) with N static; pairs unroll in a Python loop — NOT
+    vmap, which turns the warp's linearized takes into batched general
+    gathers (measured 7x slower, CLAUDE.md) — and all 2N cost volumes
+    share the two SGM scans in chunks of ``_SGM_MEGABATCH``. One
+    dispatch replaces N pair dispatches + 1 fusion dispatch + N host
+    valid-fraction pulls (~25-30 ms tunnel latency each, CLAUDE.md).
+    Per-pair marginal compute is ~43 ms (r4 profile: rectify 21.5,
+    SGM-pallas 16.8, wta+lr 2.5, cost 1.4) so at N=2 the dispatch
+    savings alone are ~2x on the dense bench.
+
+    Fused depth lives in the rectified reference frame of the FIRST
+    pair (same convention as the serial pipeline path).
+    """
+    N = imgs.shape[0]
+    vols, metas = [], []
+    for i in range(N):
+        r1, r2, K_new, baseline, (H1, H2) = rectify_pair(
+            img_ref, imgs[i], K_ref, K2s[i], Rs[i], ts[i])
+        vol = cost_volume(r1, r2, num_disparities)
+        vols.append(vol)
+        vols.append(_right_view_volume(vol))
+        metas.append((K_new, baseline))
+    aggs = []
+    for s in range(0, 2 * N, _SGM_MEGABATCH):
+        aggs.append(sgm_aggregate_batch(jnp.stack(vols[s:s + _SGM_MEGABATCH])))
+    agg = jnp.concatenate(aggs, axis=0) if len(aggs) > 1 else aggs[0]
+    depths, valids, baselines = [], [], []
+    for i, (K_new, baseline) in enumerate(metas):
+        res = _wta_lr_depth(agg[2 * i], agg[2 * i + 1], K_new[0, 0],
+                            baseline, lr_max_diff)
+        depths.append(res.depth)
+        valids.append(res.valid)
+        baselines.append(baseline)
+    depths = jnp.stack(depths)
+    valids = jnp.stack(valids)
+    baselines = jnp.stack(baselines)
+    fused, fused_valid = fuse_depth_maps(depths, valids, baselines,
+                                         method=fusion)
+    return {"fused_depth": fused, "fused_valid": fused_valid,
+            "depths": depths, "valids": valids, "baselines": baselines,
+            "valid_fractions": jnp.mean(valids.astype(jnp.float32),
+                                        axis=(1, 2)),
+            "K_rectified0": metas[0][0]}
 
 
 @functools.partial(jax.jit, static_argnames=("num_planes",))

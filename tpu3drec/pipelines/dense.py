@@ -136,32 +136,46 @@ class DenseReconstructionPipeline:
                 valids.append(jnp.asarray(out["valid"]))
                 baselines.append(out["baseline"])
         else:
+            # ALL pairs + fusion in ONE jitted program (unrolled, not
+            # vmapped): N pair dispatches + fusion dispatch + N host
+            # valid-fraction pulls collapse into one ~25-30 ms round
+            # trip (ops/stereo.py:stereo_depth_pairs_fused; r4 dense
+            # profile: dispatch overhead was ~60% of stage wall)
+            from tpu3drec.ops.stereo import stereo_depth_pairs_fused
+            K2l, Rl, tl, im_l = [], [], [], []
             for n in others:
                 K2, R2, t2 = cam_of(n)
                 # relative pose: x2 = R_rel x_ref + t_rel
                 R_rel = R2 @ R_ref.T
                 t_rel = t2 - R_rel @ t_ref
-                out = stereo_depth_pair(
-                    img_ref,
-                    jnp.asarray(np.asarray(images[n], np.float32)),
-                    jnp.asarray(K_ref.astype(np.float32)),
-                    jnp.asarray(K2.astype(np.float32)),
-                    jnp.asarray(R_rel.astype(np.float32)),
-                    jnp.asarray(t_rel.astype(np.float32)),
-                    num_disparities=self.num_disparities)
-                depths.append(out["depth"])
-                valids.append(out["valid"])
-                baselines.append(out["baseline"])
-        # materialize AFTER the loop: a float()/np.asarray() inside the
-        # loop is a host sync that serializes the per-pair dispatches
-        baselines = [float(np.asarray(b)) for b in baselines]
-        for n, v in zip([x for x in names if x != ref], valids):
-            per_view[n] = {"valid_fraction": float(np.asarray(v).mean())}
-        import jax.numpy as jnp2
-        fused, fused_valid = fuse_depth_maps(
-            jnp2.stack(depths), jnp2.stack(valids),
-            jnp2.asarray(np.asarray(baselines, np.float32)),
-            method=self.fusion_method)
+                K2l.append(K2.astype(np.float32))
+                Rl.append(R_rel.astype(np.float32))
+                tl.append(t_rel.astype(np.float32))
+                im_l.append(np.asarray(images[n], np.float32))
+            fout = stereo_depth_pairs_fused(
+                img_ref, jnp.asarray(np.stack(im_l)),
+                jnp.asarray(K_ref.astype(np.float32)),
+                jnp.asarray(np.stack(K2l)), jnp.asarray(np.stack(Rl)),
+                jnp.asarray(np.stack(tl)),
+                num_disparities=self.num_disparities,
+                fusion=self.fusion_method)
+            depths = list(fout["depths"])
+            valids = list(fout["valids"])
+            # one host pull AFTER the single dispatch (report floats)
+            baselines = [float(b) for b in np.asarray(fout["baselines"])]
+            fracs = np.asarray(fout["valid_fractions"])
+            for n, fr in zip(others, fracs):
+                per_view[n] = {"valid_fraction": float(fr)}
+            fused, fused_valid = fout["fused_depth"], fout["fused_valid"]
+        if not per_view:
+            # sharded path: fuse on host side of the mesh outputs
+            baselines = [float(np.asarray(b)) for b in baselines]
+            for n, v in zip(others, valids):
+                per_view[n] = {"valid_fraction": float(np.asarray(v).mean())}
+            fused, fused_valid = fuse_depth_maps(
+                jnp.stack(depths), jnp.stack(valids),
+                jnp.asarray(np.asarray(baselines, np.float32)),
+                method=self.fusion_method)
 
         # NOTE: fused depth lives in the RECTIFIED reference frame of the
         # first pair; for point-cloud purposes we use the rectified K of
@@ -172,15 +186,15 @@ class DenseReconstructionPipeline:
         stride = max(1, int(np.ceil(np.sqrt(
             fused.shape[0] * fused.shape[1] / self.max_cloud_points))))
         pts, colors, mask = pc.depth_map_to_point_cloud(
-            fused, jnp2.asarray(K_ref.astype(np.float32)),
-            jnp2.asarray(R_ref.astype(np.float32)),
-            jnp2.asarray(t_ref.astype(np.float32)),
+            fused, jnp.asarray(K_ref.astype(np.float32)),
+            jnp.asarray(R_ref.astype(np.float32)),
+            jnp.asarray(t_ref.astype(np.float32)),
             image=img_ref, valid=fused_valid, stride=stride)
         mask = pc.statistical_outlier_mask(pts, mask, k=self.outlier_k,
                                            std_ratio=self.outlier_std)
         normals = pc.estimate_normals(
             pts[:16384], mask[:16384],
-            viewpoint=jnp2.asarray((-R_ref.T @ t_ref).astype(np.float32))) \
+            viewpoint=jnp.asarray((-R_ref.T @ t_ref).astype(np.float32))) \
             if pts.shape[0] <= 16384 else None
         pts_np = np.asarray(pts)[np.asarray(mask)]
         colors_np = np.asarray(colors)[np.asarray(mask)] \
