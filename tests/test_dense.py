@@ -258,3 +258,55 @@ def test_fused_multi_pair_matches_serial():
                                np.asarray(fused_ref), rtol=1e-5, atol=1e-5)
     assert np.array_equal(np.asarray(fout["fused_valid"]),
                           np.asarray(fv_ref))
+
+
+def test_chunked_blocks_match_fused():
+    """Large-folder path: fixed-size stereo_depth_pairs_block chunks +
+    one fuse_depth_blocks dispatch == the fully-fused program."""
+    from tpu3drec.ops.stereo import (
+        stereo_depth_pairs_fused, stereo_depth_pairs_block,
+        fuse_depth_blocks)
+
+    N = 5
+    left, right, _, _ = make_stereo_pair()
+    rights = [make_stereo_pair(seed=s)[1] for s in range(N)]
+    K = np.array([[FOCAL, 0, W / 2], [0, FOCAL, H / 2], [0, 0, 1]],
+                 np.float32)
+    R = np.eye(3, dtype=np.float32)
+    ts = np.stack([np.array([-(1 + 0.2 * i) * BASELINE, 0, 0], np.float32)
+                   for i in range(N)])
+    imgs = np.stack(rights)
+    Ks = np.stack([K] * N)
+    Rs = np.stack([R] * N)
+
+    fout = stereo_depth_pairs_fused(
+        jnp.asarray(left), jnp.asarray(imgs), jnp.asarray(K),
+        jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(ts),
+        num_disparities=16, fusion="weighted")
+
+    C = 2
+    d_b, v_b, b_b = [], [], []
+    for s in range(0, N, C):
+        bout = stereo_depth_pairs_block(
+            jnp.asarray(left), jnp.asarray(imgs[s:s + C]), jnp.asarray(K),
+            jnp.asarray(Ks[s:s + C]), jnp.asarray(Rs[s:s + C]),
+            jnp.asarray(ts[s:s + C]), num_disparities=16)
+        d_b.append(bout["depths"])
+        v_b.append(bout["valids"])
+        b_b.append(bout["baselines"])
+    d_all = jnp.concatenate(d_b)
+    v_all = jnp.concatenate(v_b)
+    b_all = jnp.concatenate(b_b)
+    cout = fuse_depth_blocks(d_all, v_all, b_all, fusion="weighted")
+
+    np.testing.assert_allclose(np.asarray(d_all), np.asarray(fout["depths"]),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(v_all), np.asarray(fout["valids"]))
+    np.testing.assert_allclose(np.asarray(cout["fused_depth"]),
+                               np.asarray(fout["fused_depth"]),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(cout["fused_valid"]),
+                          np.asarray(fout["fused_valid"]))
+    np.testing.assert_allclose(np.asarray(cout["valid_fractions"]),
+                               np.asarray(fout["valid_fractions"]),
+                               rtol=1e-6)

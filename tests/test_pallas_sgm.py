@@ -48,3 +48,23 @@ def test_env_gate_routes_to_pallas(monkeypatch):
     finally:
         jax.clear_caches()
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_pallas_sgm_row_chunked_parity():
+    """Batch big enough that 2*B*H (and a non-%8 chunk before rounding)
+    exceeds _MAX_BLOCK_ROWS -> the outer row-chunk grid dim + padding
+    path must stay exact."""
+    import tpu3drec.ops.pallas_sgm as psgm
+    vols = _volumes(B=5, D=16, H=20, W=28, seed=7)   # 2*B*W = 280
+    old = psgm._MAX_BLOCK_ROWS
+    psgm._MAX_BLOCK_ROWS = 96   # force nc>1 with a ragged last chunk
+    try:
+        import jax
+        jax.clear_caches()  # drop traces that baked the old constant
+        ref = np.asarray(sgm_aggregate_batch(vols))
+        got = np.asarray(sgm_aggregate_batch_pallas(vols, interpret=True))
+    finally:
+        psgm._MAX_BLOCK_ROWS = old
+        import jax
+        jax.clear_caches()
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)

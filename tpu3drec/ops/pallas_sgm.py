@@ -38,6 +38,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# max stream rows per kernel block: 2048*128 lanes*4 B = 1 MB/buffer,
+# ~7 buffers (multi-buffered in+out+carry) stays well under the 16 MB
+# scoped-VMEM limit
+_MAX_BLOCK_ROWS = 2048
+
 
 def _dp_step(prev: jnp.ndarray, c: jnp.ndarray, p1: float,
              p2: float) -> jnp.ndarray:
@@ -52,11 +57,13 @@ def _dp_step(prev: jnp.ndarray, c: jnp.ndarray, p1: float,
 
 def _sgm_kernel(v_ref, out_ref, carry_ref, *, p1: float, p2: float,
                 nx: int):
-    """grid=(X,). v_ref block (1, 2S, D): rows [:S] = column i of the
-    forward stream, rows [S:] = column X-1-i of the backward stream
-    (the caller pre-concatenates v with v reversed along X). carry (2S, D)
-    persists across grid steps."""
-    i = pl.program_id(0)
+    """grid=(nc, X) — X innermost. v_ref block (1, chunk, D): a chunk of
+    stream rows of column i; rows in [:S] of the full array are the
+    forward stream (column i), rows in [S:] the backward stream (column
+    X-1-i; the caller pre-concatenates v with v reversed along X).
+    carry (chunk, D) persists across the X steps of one row-chunk and is
+    reset at i == 0 (each chunk is an independent set of DP streams)."""
+    i = pl.program_id(1)
     c = v_ref[0]
 
     @pl.when(i == 0)
@@ -81,15 +88,28 @@ def _sgm_axis_pallas(v: jnp.ndarray, p1x100: int, p2x100: int,
     X, S, D = v.shape
     p1, p2 = p1x100 / 100.0, p2x100 / 100.0
     both = jnp.concatenate([v, v[::-1]], axis=1)       # (X, 2S, D)
+    # Chunk the stream axis as the OUTER grid dim so per-block VMEM is
+    # bounded no matter how many volumes share the call: D=64 pads to
+    # 128 lanes, so a (1, rows, D) f32 block costs rows*128*4 bytes per
+    # buffer and the compiler multi-buffers in+out+carry — an unchunked
+    # 8-volume batch (rows=10240) blew the 16 MB scoped-VMEM limit
+    # (measured: "19.95M > 16.00M" at rows=5120 with 2 pairs).
+    rows = 2 * S
+    nc = max(1, -(-rows // _MAX_BLOCK_ROWS))
+    chunk = ((-(-rows // nc)) + 7) // 8 * 8            # %8 sublanes
+    pad = nc * chunk - rows
+    if pad:
+        both = jnp.pad(both, ((0, 0), (0, pad), (0, 0)))
     agg = pl.pallas_call(
         functools.partial(_sgm_kernel, p1=p1, p2=p2, nx=X),
-        grid=(X,),
-        in_specs=[pl.BlockSpec((1, 2 * S, D), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, 2 * S, D), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((X, 2 * S, D), v.dtype),
-        scratch_shapes=[pltpu.VMEM((2 * S, D), jnp.float32)],
+        grid=(nc, X),
+        in_specs=[pl.BlockSpec((1, chunk, D), lambda j, i: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, chunk, D), lambda j, i: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((X, nc * chunk, D), v.dtype),
+        scratch_shapes=[pltpu.VMEM((chunk, D), jnp.float32)],
         interpret=interpret,
     )(both)
+    agg = agg[:, :rows]
     return agg[:, :S] + agg[:, S:][::-1]
 
 

@@ -269,6 +269,50 @@ def stereo_depth_pair(img1: jnp.ndarray, img2: jnp.ndarray,
 _SGM_MEGABATCH = 8
 
 
+def _pairs_block(img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities,
+                 lr_max_diff):
+    """Rectify + cost + batched SGM + WTA/LR for a block of N pairs
+    (traced body shared by the fused and chunked entry points)."""
+    N = imgs.shape[0]
+    vols, metas = [], []
+    for i in range(N):
+        r1, r2, K_new, baseline, (H1, H2) = rectify_pair(
+            img_ref, imgs[i], K_ref, K2s[i], Rs[i], ts[i])
+        vol = cost_volume(r1, r2, num_disparities)
+        vols.append(vol)
+        vols.append(_right_view_volume(vol))
+        metas.append((K_new, baseline))
+    aggs = []
+    for s in range(0, 2 * N, _SGM_MEGABATCH):
+        aggs.append(sgm_aggregate_batch(jnp.stack(vols[s:s + _SGM_MEGABATCH])))
+    agg = jnp.concatenate(aggs, axis=0) if len(aggs) > 1 else aggs[0]
+    depths, valids, baselines = [], [], []
+    for i, (K_new, baseline) in enumerate(metas):
+        res = _wta_lr_depth(agg[2 * i], agg[2 * i + 1], K_new[0, 0],
+                            baseline, lr_max_diff)
+        depths.append(res.depth)
+        valids.append(res.valid)
+        baselines.append(baseline)
+    return (jnp.stack(depths), jnp.stack(valids), jnp.stack(baselines),
+            metas[0][0])
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities",))
+def stereo_depth_pairs_block(img_ref: jnp.ndarray, imgs: jnp.ndarray,
+                             K_ref: jnp.ndarray, K2s: jnp.ndarray,
+                             Rs: jnp.ndarray, ts: jnp.ndarray,
+                             num_disparities: int = 64,
+                             lr_max_diff: float = 1.5) -> Dict:
+    """One dispatch for a BLOCK of pairs (no fusion): large folders
+    chunk through this at a fixed block size so program memory (2N
+    cost volumes live, ~78 MB each at 480x640x64) and unrolled compile
+    time stay bounded while dispatch count drops N-fold."""
+    depths, valids, baselines, K0 = _pairs_block(
+        img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities, lr_max_diff)
+    return {"depths": depths, "valids": valids, "baselines": baselines,
+            "K_rectified0": K0}
+
+
 @functools.partial(jax.jit, static_argnames=("num_disparities", "fusion"))
 def stereo_depth_pairs_fused(img_ref: jnp.ndarray, imgs: jnp.ndarray,
                              K_ref: jnp.ndarray, K2s: jnp.ndarray,
@@ -292,36 +336,27 @@ def stereo_depth_pairs_fused(img_ref: jnp.ndarray, imgs: jnp.ndarray,
     Fused depth lives in the rectified reference frame of the FIRST
     pair (same convention as the serial pipeline path).
     """
-    N = imgs.shape[0]
-    vols, metas = [], []
-    for i in range(N):
-        r1, r2, K_new, baseline, (H1, H2) = rectify_pair(
-            img_ref, imgs[i], K_ref, K2s[i], Rs[i], ts[i])
-        vol = cost_volume(r1, r2, num_disparities)
-        vols.append(vol)
-        vols.append(_right_view_volume(vol))
-        metas.append((K_new, baseline))
-    aggs = []
-    for s in range(0, 2 * N, _SGM_MEGABATCH):
-        aggs.append(sgm_aggregate_batch(jnp.stack(vols[s:s + _SGM_MEGABATCH])))
-    agg = jnp.concatenate(aggs, axis=0) if len(aggs) > 1 else aggs[0]
-    depths, valids, baselines = [], [], []
-    for i, (K_new, baseline) in enumerate(metas):
-        res = _wta_lr_depth(agg[2 * i], agg[2 * i + 1], K_new[0, 0],
-                            baseline, lr_max_diff)
-        depths.append(res.depth)
-        valids.append(res.valid)
-        baselines.append(baseline)
-    depths = jnp.stack(depths)
-    valids = jnp.stack(valids)
-    baselines = jnp.stack(baselines)
+    depths, valids, baselines, K0 = _pairs_block(
+        img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities, lr_max_diff)
     fused, fused_valid = fuse_depth_maps(depths, valids, baselines,
                                          method=fusion)
     return {"fused_depth": fused, "fused_valid": fused_valid,
             "depths": depths, "valids": valids, "baselines": baselines,
             "valid_fractions": jnp.mean(valids.astype(jnp.float32),
                                         axis=(1, 2)),
-            "K_rectified0": metas[0][0]}
+            "K_rectified0": K0}
+
+
+@functools.partial(jax.jit, static_argnames=("fusion",))
+def fuse_depth_blocks(depths: jnp.ndarray, valids: jnp.ndarray,
+                      baselines: jnp.ndarray,
+                      fusion: str = "weighted") -> Dict:
+    """Final fusion dispatch over concatenated block outputs."""
+    fused, fused_valid = fuse_depth_maps(depths, valids, baselines,
+                                         method=fusion)
+    return {"fused_depth": fused, "fused_valid": fused_valid,
+            "valid_fractions": jnp.mean(valids.astype(jnp.float32),
+                                        axis=(1, 2))}
 
 
 @functools.partial(jax.jit, static_argnames=("num_planes",))

@@ -140,8 +140,16 @@ class DenseReconstructionPipeline:
             # vmapped): N pair dispatches + fusion dispatch + N host
             # valid-fraction pulls collapse into one ~25-30 ms round
             # trip (ops/stereo.py:stereo_depth_pairs_fused; r4 dense
-            # profile: dispatch overhead was ~60% of stage wall)
-            from tpu3drec.ops.stereo import stereo_depth_pairs_fused
+            # profile: dispatch overhead was ~60% of stage wall).
+            # Folders past _FUSED_MAX pairs chunk through the fixed-size
+            # block program instead: unrolled compile time and live
+            # cost-volume memory (2N x ~78 MB at 480x640x64) stay
+            # bounded, and every full chunk reuses ONE compiled shape.
+            from tpu3drec.ops.stereo import (
+                stereo_depth_pairs_fused, stereo_depth_pairs_block,
+                fuse_depth_blocks)
+            _FUSED_MAX = 6   # single fully-fused program up to here
+            _CHUNK = 4       # block size for larger folders
             K2l, Rl, tl, im_l = [], [], [], []
             for n in others:
                 K2, R2, t2 = cam_of(n)
@@ -152,21 +160,45 @@ class DenseReconstructionPipeline:
                 Rl.append(R_rel.astype(np.float32))
                 tl.append(t_rel.astype(np.float32))
                 im_l.append(np.asarray(images[n], np.float32))
-            fout = stereo_depth_pairs_fused(
-                img_ref, jnp.asarray(np.stack(im_l)),
-                jnp.asarray(K_ref.astype(np.float32)),
-                jnp.asarray(np.stack(K2l)), jnp.asarray(np.stack(Rl)),
-                jnp.asarray(np.stack(tl)),
-                num_disparities=self.num_disparities,
-                fusion=self.fusion_method)
-            depths = list(fout["depths"])
-            valids = list(fout["valids"])
-            # one host pull AFTER the single dispatch (report floats)
-            baselines = [float(b) for b in np.asarray(fout["baselines"])]
-            fracs = np.asarray(fout["valid_fractions"])
-            for n, fr in zip(others, fracs):
+            im_l = np.stack(im_l)
+            K2l, Rl, tl = np.stack(K2l), np.stack(Rl), np.stack(tl)
+            K_ref32 = jnp.asarray(K_ref.astype(np.float32))
+            if len(others) <= _FUSED_MAX:
+                fout = stereo_depth_pairs_fused(
+                    img_ref, jnp.asarray(im_l), K_ref32,
+                    jnp.asarray(K2l), jnp.asarray(Rl), jnp.asarray(tl),
+                    num_disparities=self.num_disparities,
+                    fusion=self.fusion_method)
+                depths = list(fout["depths"])
+                valids = list(fout["valids"])
+                bs_dev = fout["baselines"]
+                fracs = fout["valid_fractions"]
+                fused, fused_valid = fout["fused_depth"], fout["fused_valid"]
+            else:
+                d_blocks, v_blocks, b_blocks = [], [], []
+                for s in range(0, len(others), _CHUNK):
+                    bout = stereo_depth_pairs_block(
+                        img_ref, jnp.asarray(im_l[s:s + _CHUNK]), K_ref32,
+                        jnp.asarray(K2l[s:s + _CHUNK]),
+                        jnp.asarray(Rl[s:s + _CHUNK]),
+                        jnp.asarray(tl[s:s + _CHUNK]),
+                        num_disparities=self.num_disparities)
+                    d_blocks.append(bout["depths"])
+                    v_blocks.append(bout["valids"])
+                    b_blocks.append(bout["baselines"])
+                d_all = jnp.concatenate(d_blocks)
+                v_all = jnp.concatenate(v_blocks)
+                bs_dev = jnp.concatenate(b_blocks)
+                fout = fuse_depth_blocks(d_all, v_all, bs_dev,
+                                         fusion=self.fusion_method)
+                depths = list(d_all)
+                valids = list(v_all)
+                fracs = fout["valid_fractions"]
+                fused, fused_valid = fout["fused_depth"], fout["fused_valid"]
+            # one host pull AFTER the dispatches (report floats)
+            baselines = [float(b) for b in np.asarray(bs_dev)]
+            for n, fr in zip(others, np.asarray(fracs)):
                 per_view[n] = {"valid_fraction": float(fr)}
-            fused, fused_valid = fout["fused_depth"], fout["fused_valid"]
         if not per_view:
             # sharded path: fuse on host side of the mesh outputs
             baselines = [float(np.asarray(b)) for b in baselines]
