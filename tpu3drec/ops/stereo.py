@@ -340,10 +340,14 @@ def stereo_depth_pairs_fused(img_ref: jnp.ndarray, imgs: jnp.ndarray,
         img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities, lr_max_diff)
     fused, fused_valid = fuse_depth_maps(depths, valids, baselines,
                                          method=fusion)
+    fracs = jnp.mean(valids.astype(jnp.float32), axis=(1, 2))
     return {"fused_depth": fused, "fused_valid": fused_valid,
             "depths": depths, "valids": valids, "baselines": baselines,
-            "valid_fractions": jnp.mean(valids.astype(jnp.float32),
-                                        axis=(1, 2)),
+            "valid_fractions": fracs,
+            # (2, N) [baselines; valid_fractions]: every host round trip
+            # is ~25-30 ms over the tunnel, so the pipeline pulls the
+            # per-view scalars in ONE np.asarray instead of two
+            "meta": jnp.stack([baselines, fracs]),
             "K_rectified0": K0}
 
 

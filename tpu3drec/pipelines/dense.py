@@ -169,10 +169,14 @@ class DenseReconstructionPipeline:
                     jnp.asarray(K2l), jnp.asarray(Rl), jnp.asarray(tl),
                     num_disparities=self.num_disparities,
                     fusion=self.fusion_method)
-                depths = list(fout["depths"])
-                valids = list(fout["valids"])
-                bs_dev = fout["baselines"]
-                fracs = fout["valid_fractions"]
+                # ONE small host pull for all per-view scalars; the
+                # stacked depths/valids stay on device untouched (a
+                # list()/np.asarray of them would add a ~MB-scale
+                # transfer per pair to the stage)
+                meta = np.asarray(fout["meta"])
+                baselines = [float(b) for b in meta[0]]
+                for n, fr in zip(others, meta[1]):
+                    per_view[n] = {"valid_fraction": float(fr)}
                 fused, fused_valid = fout["fused_depth"], fout["fused_valid"]
             else:
                 d_blocks, v_blocks, b_blocks = [], [], []
@@ -191,14 +195,10 @@ class DenseReconstructionPipeline:
                 bs_dev = jnp.concatenate(b_blocks)
                 fout = fuse_depth_blocks(d_all, v_all, bs_dev,
                                          fusion=self.fusion_method)
-                depths = list(d_all)
-                valids = list(v_all)
-                fracs = fout["valid_fractions"]
                 fused, fused_valid = fout["fused_depth"], fout["fused_valid"]
-            # one host pull AFTER the dispatches (report floats)
-            baselines = [float(b) for b in np.asarray(bs_dev)]
-            for n, fr in zip(others, np.asarray(fracs)):
-                per_view[n] = {"valid_fraction": float(fr)}
+                baselines = [float(b) for b in np.asarray(bs_dev)]
+                for n, fr in zip(others, np.asarray(fout["valid_fractions"])):
+                    per_view[n] = {"valid_fraction": float(fr)}
         if not per_view:
             # sharded path: fuse on host side of the mesh outputs
             baselines = [float(np.asarray(b)) for b in baselines]
