@@ -142,4 +142,6 @@ def sharded_bundle_adjust(prob: BAProblem,
         stacked.obs_cam, stacked.obs_pt, stacked.obs_uv, stacked.obs_mask)
     return BAResult(cam_params=cams, points=pts[:n_pts],
                     cost_initial=c0, cost_final=c1, iterations=iters,
-                    mean_reproj_px=mpx)
+                    mean_reproj_px=mpx,
+                    stats=jnp.stack([c0, c1,
+                                     iters.astype(jnp.float32), mpx]))

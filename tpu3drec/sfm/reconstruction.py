@@ -514,10 +514,24 @@ def _pad_ba_problem(cams, pts, obs_cam, obs_pt, obs_uv, pm):
             b *= factor
         return b
 
+    def _buck_hybrid(n, minimum, fine_from):
+        # coarse x4 steps while small, x2 once large: every extra bucket
+        # costs a full trace+load of the BA program (~tens of seconds
+        # over the remote-compile path) regardless of its size, but the
+        # padding waste the bucket avoids only matters when the padded
+        # problem is BIG — factor-4 buckets measured up to 3x padded
+        # work on the steady-state incremental problems (P=5-7k ->
+        # 16384, M=20-30k -> 65536), while all-factor-2 buckets pushed
+        # the 25-view cold start from 206 s to 541 s
+        b = minimum
+        while b < n:
+            b *= 4 if b < fine_from else 2
+        return b
+
     C, P, M = len(cams), len(pts), len(obs_cam)
     Cp = _buck(max(C, 1), 8, 2)
-    Pp = _buck(max(P, 1), 1024)
-    Mp = _buck(max(M, 1), 4096)
+    Pp = _buck_hybrid(max(P, 1), 1024, 4096)   # 1024,4096,8192,16384,...
+    Mp = _buck_hybrid(max(M, 1), 4096, 16384)  # 4096,16384,32768,65536,...
     cams_p = np.zeros((Cp, 10), np.float32)
     cams_p[:C] = cams
     cams_p[C:, 6:8] = 1.0  # benign fx, fy for frozen pad cameras
