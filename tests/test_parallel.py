@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpu3drec.parallel.mesh import (
     make_mesh, default_mesh_shape, batch_sharding, DATA_AXIS, MODEL_AXIS,
@@ -46,7 +46,7 @@ def test_tp_knn2_matches_single_device():
     sharded = shard_map(
         f, mesh=mesh,
         in_specs=(P(), P(MODEL_AXIS), P(), P(MODEL_AXIS)),
-        out_specs=(P(), P()), check_rep=False)
+        out_specs=(P(), P()), check_vma=False)
     idx, dist = jax.jit(sharded)(jnp.asarray(d1), jnp.asarray(d2),
                                  jnp.asarray(m1), jnp.asarray(m2))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
@@ -132,7 +132,7 @@ def test_ring_knn2_matches_single_device():
         f, mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
                   P(MODEL_AXIS)),
-        out_specs=(P(MODEL_AXIS), P(MODEL_AXIS)), check_rep=False)
+        out_specs=(P(MODEL_AXIS), P(MODEL_AXIS)), check_vma=False)
     idx, dist = jax.jit(sharded)(jnp.asarray(d1), jnp.asarray(d2),
                                  jnp.asarray(m1), jnp.asarray(m2))
     idx = np.asarray(idx)

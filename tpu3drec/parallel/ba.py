@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpu3drec.ops.ba import BAProblem, BAConfig, BAResult, bundle_adjust
 from tpu3drec.parallel.mesh import DATA_AXIS
@@ -134,7 +134,7 @@ def sharded_bundle_adjust(prob: BAProblem,
         in_specs=(rep, rep, sharded, sharded,
                   sharded, sharded, sharded, sharded),
         out_specs=(rep, sharded, rep, rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     cams, pts, c0, c1, iters, mpx = jax.jit(fn)(
         stacked.cam_params, stacked.param_mask,

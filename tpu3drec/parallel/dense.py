@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpu3drec.parallel.mesh import DATA_AXIS
 from tpu3drec.ops.stereo import stereo_depth_pair
@@ -52,7 +52,7 @@ def make_sharded_stereo_step(mesh: Mesh, num_disparities: int = 64):
         in_specs=(spec,) * 6,
         out_specs={"depth": spec, "disparity": spec, "valid": spec,
                    "baseline": spec},
-        check_rep=False)
+        check_vma=False)
 
     jitted = jax.jit(step)
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpu3drec.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 from tpu3drec.ops.match import distance_matrix
@@ -202,7 +202,7 @@ def make_batched_pair_step(mesh: Mesh, detect_fn: Callable,
         out_specs={"num_matches": in_spec, "num_inliers": in_spec,
                    "inlier_ratio": in_spec, "success": in_spec,
                    "total_matches": in_spec},
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 
