@@ -187,18 +187,47 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
             + fy * ((1 - fx) * v10 + fx * v11))
 
 
+def homography_grid(H: jnp.ndarray, out_shape: Tuple[int, int]
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-pixel source coordinates of the FORWARD map H.
+
+    Returns (sx, sy), each (h, w) float32, with [sx, sy, 1] ~ H @ [x, y, 1]
+    for every output pixel (x, y). Sampling an image at this grid computes
+    out(p) = img(H p); pass H^-1 for the usual inverse warp.
+    """
+    h, w = out_shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    # projective division with sign-preserving |w| guard
+    den = H[2, 0] * xs + H[2, 1] * ys + H[2, 2]
+    den = jnp.sign(den) * jnp.maximum(jnp.abs(den), 1e-12)
+    sx = (H[0, 0] * xs + H[0, 1] * ys + H[0, 2]) / den
+    sy = (H[1, 0] * xs + H[1, 1] * ys + H[1, 2]) / den
+    return sx, sy
+
+
+def sample_grid(img: jnp.ndarray, sx: jnp.ndarray,
+                sy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample a (H, W) image at (h, w) coordinate grids, clamped
+    (the 2-D form of `bilinear_sample`; cv2.remap BORDER_REPLICATE)."""
+    out = bilinear_sample(img, jnp.stack([sx.ravel(), sy.ravel()], axis=1))
+    return out.reshape(sx.shape)
+
+
+def grid_in_bounds(shape: Tuple[int, int], sx: jnp.ndarray,
+                   sy: jnp.ndarray) -> jnp.ndarray:
+    """Mask of grid positions whose bilinear footprint lies inside a
+    (H, W) source image (no border replication involved)."""
+    h, w = shape
+    return ((sx >= 0.0) & (sx <= w - 1.0)
+            & (sy >= 0.0) & (sy <= h - 1.0))
+
+
 def warp_perspective(img: jnp.ndarray, H: jnp.ndarray,
                      out_shape: Tuple[int, int]) -> jnp.ndarray:
     """Inverse-warp an image by homography H (cv2.warpPerspective equivalent).
 
     H maps src -> dst; we sample src at H^-1 @ dst grid.
     """
-    h, w = out_shape
-    Hinv = jnp.linalg.inv(H)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    ones = jnp.ones_like(xs)
-    pts = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()], axis=1)  # (HW, 3)
-    src = pts @ Hinv.T
-    src_xy = src[:, :2] / jnp.maximum(jnp.abs(src[:, 2:3]), 1e-12) * jnp.sign(src[:, 2:3])
-    return bilinear_sample(img, src_xy).reshape(h, w)
+    sx, sy = homography_grid(jnp.linalg.inv(H), out_shape)
+    return sample_grid(img, sx, sy)
