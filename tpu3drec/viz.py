@@ -189,6 +189,51 @@ def visualize_mesh(verts, faces, title: str = "Mesh Visualization",
     return fig
 
 
+def plot_point_cloud(points, colors=None, normals=None,
+                     title: str = "Point Cloud", max_points: int = 10000,
+                     save_to=None):
+    """Dedicated colored point-cloud figure (reference
+    visualize_point_cloud, point_cloud_processing.py:378-481): a 3-D
+    scatter colored by RGB (or by depth when no colors), optional
+    normal quivers on a subsample, plus per-axis distribution panels."""
+    pts = np.asarray(points).reshape(-1, 3)
+    if len(pts) == 0:
+        print("No points to visualize")
+        return None
+    sel = np.arange(len(pts))
+    if len(pts) > max_points:
+        sel = np.random.default_rng(0).choice(len(pts), max_points,
+                                              replace=False)
+    p = pts[sel]
+    c = None
+    if colors is not None and len(np.asarray(colors)) == len(pts):
+        c = np.asarray(colors)[sel]
+        if c.max() > 1.0:
+            c = c / 255.0
+        c = np.clip(c, 0.0, 1.0)
+    fig = plt.figure(figsize=(12, 8))
+    ax = fig.add_subplot(121, projection="3d")
+    ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=1,
+               c=(c if c is not None else p[:, 2]),
+               cmap=None if c is not None else "viridis")
+    if normals is not None and len(np.asarray(normals)) == len(pts):
+        nsub = sel[:: max(1, len(sel) // 200)]
+        n = np.asarray(normals)[nsub]
+        q = pts[nsub]
+        scale = 0.03 * float(np.linalg.norm(pts.max(0) - pts.min(0)) + 1e-9)
+        ax.quiver(q[:, 0], q[:, 1], q[:, 2], n[:, 0], n[:, 1], n[:, 2],
+                  length=scale, color="red", alpha=0.5, linewidth=0.5)
+    ax.set_title(title)
+    for i, (axis, name) in enumerate(zip(range(3), "XYZ")):
+        axh = fig.add_subplot(3, 2, 2 * i + 2)
+        axh.hist(pts[:, axis], bins=50, color="steelblue")
+        axh.set_ylabel(name)
+    fig.suptitle(f"{title} — {len(pts)} points")
+    if save_to:
+        return save_visualization(fig, save_to)
+    return fig
+
+
 def plot_reconstruction_3d(recon, max_points: int = 5000, save_to=None):
     """3-D scatter of the sparse cloud + camera frusta (the SfM-stage
     analogue of the reference's matplotlib cloud views,
