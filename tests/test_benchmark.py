@@ -89,6 +89,15 @@ def test_unified_benchmark_runs(tmp_path):
         assert acc[m]["avg_quality"] > 0.2, acc[m]
     ranking = res["analysis"]["ranking"]
     assert len(ranking) == 2
+    # batched-throughput task (VERDICT r4 #6): vmapped pairs/s per
+    # method in the same JSON family; ranking uses it on accelerators
+    thr = res["benchmarks"]["throughput"]["summary"]
+    for m in ("SIFT", "ORB"):
+        assert "error" not in thr[m], thr[m]
+        assert thr[m]["batched_pairs_per_s"] > 0
+        assert thr[m]["batch"] == cfg.throughput_batch
+    assert res["analysis"]["speed_metric"] in ("fps",
+                                               "batched_pairs_per_s")
     path = pipe.save_results(res, tmp_path)
     saved = json.loads(path.read_text())
     assert saved["benchmarks"]["performance"]["summary"].keys() == perf.keys()

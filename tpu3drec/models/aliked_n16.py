@@ -250,6 +250,10 @@ class ALIKEDN16:
         self.nms_radius = nms_radius
         self.threshold = threshold
         # backbone convs at native MXU precision (see models/superpoint.py)
+        # NB: _forward is jitted with static self (identity-hashed), so
+        # matmul_precision is BAKED IN at first call — set it at
+        # construction, never mutate it afterwards; it also shadows any
+        # outer jax.default_matmul_precision context (ADVICE r4 #4).
         self.matmul_precision = matmul_precision
 
     def extract(self, image: jnp.ndarray) -> Features:

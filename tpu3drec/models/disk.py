@@ -117,6 +117,10 @@ class DISK:
         self.nms_radius = nms_radius
         self.threshold = threshold
         # U-Net convs at native MXU precision (see models/superpoint.py)
+        # NB: _forward is jitted with static self (identity-hashed), so
+        # matmul_precision is BAKED IN at first call — set it at
+        # construction, never mutate it afterwards; it also shadows any
+        # outer jax.default_matmul_precision context (ADVICE r4 #4).
         self.matmul_precision = matmul_precision
 
     def init_random(self, image_shape: Tuple[int, int], seed: int = 0):

@@ -215,6 +215,10 @@ class LightGlue:
         # attention/MLP matmuls at native MXU precision (see
         # models/superpoint.py — 2.0x measured on the deep stage);
         # "highest" restores full-f32 passes
+        # NB: _forward is jitted with static self (identity-hashed), so
+        # matmul_precision is BAKED IN at first call — set it at
+        # construction, never mutate it afterwards; it also shadows any
+        # outer jax.default_matmul_precision context (ADVICE r4 #4).
         self.matmul_precision = matmul_precision
 
     def init_random(self, n: int = 32, seed: int = 0) -> Dict:

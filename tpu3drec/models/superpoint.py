@@ -97,6 +97,10 @@ class SuperPoint:
         # end-to-end, 68.2 -> 137.1 pairs/s, bench.py r4), overriding the
         # package-wide precision=highest guard that exists for f32
         # GEOMETRY. Pass "highest" to restore full-f32 passes.
+        # NB: _forward is jitted with static self (identity-hashed), so
+        # matmul_precision is BAKED IN at first call — set it at
+        # construction, never mutate it afterwards; it also shadows any
+        # outer jax.default_matmul_precision context (ADVICE r4 #4).
         self.matmul_precision = matmul_precision
 
     def init_random(self, image_shape: Tuple[int, int],

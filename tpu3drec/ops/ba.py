@@ -70,6 +70,13 @@ class BAConfig(NamedTuple):
     schur_solver: str = "auto"
     cg_iters: int = 64
     cg_tol: float = 1e-5
+    # skip the LM loop entirely (0 iterations) when the problem's
+    # INITIAL masked mean reprojection is already below this many
+    # pixels; 0 disables. The incremental SfM path uses it so views
+    # whose PnP+triangulation landed clean don't pay a BA solve
+    # (VERDICT r4 #3) — the decision runs inside the same program, so
+    # a skipped solve costs one residual pass, not an extra dispatch.
+    skip_if_below_px: float = 0.0
 
 
 class BAResult(NamedTuple):
@@ -79,10 +86,11 @@ class BAResult(NamedTuple):
     cost_final: jnp.ndarray
     iterations: jnp.ndarray
     mean_reproj_px: jnp.ndarray
-    # (4,) [cost_initial, cost_final, iterations, mean_reproj_px] — the
-    # scalar fields packed so a caller syncs them in ONE host pull
-    # (four separate float()/int() pulls measured 107 ms of tunnel
-    # latency per incremental-BA call)
+    # (5,) [cost_initial, cost_final, iterations, mean_reproj_px,
+    # final_lambda] — the scalar fields packed so a caller syncs them in
+    # ONE host pull (four separate float()/int() pulls measured 107 ms
+    # of tunnel latency per incremental-BA call); final_lambda feeds the
+    # next incremental solve's warm start.
     stats: jnp.ndarray
 
 
@@ -157,8 +165,14 @@ def mean_reproj_error(prob: BAProblem) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("config", "axis_name"))
 def bundle_adjust(prob: BAProblem,
                   config: BAConfig = BAConfig(),
-                  axis_name: Optional[str] = None) -> BAResult:
+                  axis_name: Optional[str] = None,
+                  lambda0: Optional[jnp.ndarray] = None) -> BAResult:
     """Schur-complement LM. Returns optimized cameras/points.
+
+    `lambda0` (traced scalar) warm-starts the LM damping — incremental
+    SfM carries the previous solve's final lambda so each new view's
+    solve starts where the last one converged instead of re-walking the
+    damping schedule from lambda_init (VERDICT r4 #3).
 
     With `axis_name` set this runs INSIDE a `shard_map`: `prob.points`,
     `point_mask` and all observation arrays hold this shard's slice
@@ -346,6 +360,16 @@ def bundle_adjust(prob: BAProblem,
 
     cost0 = cost_of(prob.cam_params, prob.points)
 
+    # initial masked mean reprojection for the skip gate (one residual
+    # pass — runs inside this program, no extra dispatch)
+    r0 = jax.vmap(_residual_one)(prob.cam_params[prob.obs_cam],
+                                 prob.points[prob.obs_pt], prob.obs_uv)
+    m0 = (prob.obs_mask & (ptmask[prob.obs_pt] > 0)).astype(r0.dtype)
+    mr0 = allsum(jnp.sum(jnp.linalg.norm(r0, axis=-1) * m0)) / \
+        jnp.maximum(allsum(jnp.sum(m0)), 1.0)
+    init_done = (jnp.bool_(False) if config.skip_if_below_px <= 0
+                 else mr0 < config.skip_if_below_px)
+
     def body(state):
         cams, pts, lam, cost, it, done = state
         dc, dp, _ = build_and_solve(cams, pts, lam)
@@ -367,9 +391,10 @@ def bundle_adjust(prob: BAProblem,
         _, _, _, _, it, done = state
         return (it < config.max_iters) & jnp.logical_not(done)
 
-    state = (prob.cam_params, prob.points,
-             jnp.float32(config.lambda_init), cost0, jnp.int32(0),
-             jnp.bool_(False))
+    lam_start = (jnp.float32(config.lambda_init) if lambda0 is None
+                 else jnp.clip(jnp.float32(lambda0), 1e-9, 1e6))
+    state = (prob.cam_params, prob.points, lam_start, cost0, jnp.int32(0),
+             init_done)
     cams, pts, lam, cost, iters, _ = jax.lax.while_loop(cond, body, state)
 
     final = prob._replace(cam_params=cams, points=pts)
@@ -383,4 +408,5 @@ def bundle_adjust(prob: BAProblem,
                     iterations=iters,
                     mean_reproj_px=mean_px,
                     stats=jnp.stack([cost0, cost,
-                                     iters.astype(jnp.float32), mean_px]))
+                                     iters.astype(jnp.float32), mean_px,
+                                     lam]))

@@ -297,7 +297,7 @@ def sample_grid_band(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
         imgE, (pad_y + oy - band_y // 2, pad_x + ox - band_x // 2),
         (h_out + band_y, w_out + band_x))
 
-    if band_y * band_x <= 64:
+    if band_y * band_x <= 128:
         # fully unrolled stencil (the common near-identity bucket)
         acc = jnp.zeros((h_out, w_out), img.dtype)
         for j in range(band_y):
@@ -336,26 +336,42 @@ def sample_grid_band(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
 # (band_y, band_x) buckets the planner may pick — every distinct bucket
 # is a separate trace + remote executable load (15-100 s per shape
 # bucket on TPU, CLAUDE.md), so the ladder is deliberately coarse
-_BAND_BUCKETS = ((4, 8), (16, 48), (48, 96))
+_BAND_BUCKETS = ((4, 8), (8, 16), (16, 48), (48, 96))
 
 
 def plan_grid_band(sx: np.ndarray, sy: np.ndarray,
-                   src_shape: Tuple[int, int]):
+                   src_shape: Tuple[int, int],
+                   xs: np.ndarray = None, ys: np.ndarray = None,
+                   margin: int = 3):
     """Host-side planner for `sample_grid_band`: given the (numpy)
     sampling grids, pick (band_y, band_x, flip_x, flip_y) from the
     bucket ladder, or None when the offsets exceed the largest bucket
-    (caller falls back to the gather `sample_grid`). Margin +3 covers
-    f32-vs-f64 grid evaluation differences and the x1/y1 taps.
+    (caller falls back to the gather `sample_grid`). The margin covers
+    f32-vs-f64 grid evaluation differences and the x1/y1 taps; pass the
+    output coordinates (xs, ys) when the grids were evaluated on a
+    SUBSAMPLED output lattice (with a correspondingly larger margin).
     """
     h, w = src_shape
     h_out, w_out = sx.shape
     x = np.clip(np.asarray(sx, np.float64), 0.0, w - 1.0)
     y = np.clip(np.asarray(sy, np.float64), 0.0, h - 1.0)
-    xs = np.arange(w_out)[None, :]
-    ys = np.arange(h_out)[:, None]
+    if xs is None:
+        xs = np.arange(w_out)[None, :]
+    if ys is None:
+        ys = np.arange(h_out)[:, None]
+    xs = np.broadcast_to(np.asarray(xs, np.float64), x.shape)
+    ys = np.broadcast_to(np.asarray(ys, np.float64), y.shape)
 
     def spread(d):
-        return int(np.ceil(d.max() - d.min())) + 3
+        # adaptive margin: the base covers f32 rounding + the x1/y1
+        # taps; the adjacent-sample term bounds what a SUBSAMPLED
+        # lattice can hide between samples (~ |gradient| * stride)
+        interp_gap = 0.0
+        if d.shape[0] > 1:
+            interp_gap = max(interp_gap, np.abs(np.diff(d, axis=0)).max())
+        if d.shape[1] > 1:
+            interp_gap = max(interp_gap, np.abs(np.diff(d, axis=1)).max())
+        return int(np.ceil(d.max() - d.min() + interp_gap)) + margin
 
     best = None
     for flip_x in (False, True):

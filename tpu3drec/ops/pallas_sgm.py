@@ -55,8 +55,7 @@ def _dp_step(prev: jnp.ndarray, c: jnp.ndarray, p1: float,
     return c + best - m
 
 
-def _sgm_kernel(v_ref, out_ref, carry_ref, *, p1: float, p2: float,
-                nx: int):
+def _sgm_kernel(v_ref, out_ref, carry_ref, *, p1: float, p2: float):
     """grid=(nc, X) — X innermost. v_ref block (1, chunk, D): a chunk of
     stream rows of column i; rows in [:S] of the full array are the
     forward stream (column i), rows in [S:] the backward stream (column
@@ -101,7 +100,7 @@ def _sgm_axis_pallas(v: jnp.ndarray, p1x100: int, p2x100: int,
     if pad:
         both = jnp.pad(both, ((0, 0), (0, pad), (0, 0)))
     agg = pl.pallas_call(
-        functools.partial(_sgm_kernel, p1=p1, p2=p2, nx=X),
+        functools.partial(_sgm_kernel, p1=p1, p2=p2),
         grid=(nc, X),
         in_specs=[pl.BlockSpec((1, chunk, D), lambda j, i: (i, j, 0))],
         out_specs=pl.BlockSpec((1, chunk, D), lambda j, i: (i, j, 0)),

@@ -85,14 +85,22 @@ def rectify_homographies_np(K1: np.ndarray, K2: np.ndarray,
     return H1, H2, K_new, R_new
 
 
-def _np_grid(H: np.ndarray, shape) -> Tuple[np.ndarray, np.ndarray]:
+def _np_grid(H: np.ndarray, shape, stride: int = 1
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(sx, sy, xs, ys) of the forward map H over a (possibly strided)
+    output grid — strided planning keeps the host cost of the band
+    planner negligible (the full-res eval was ~10 ms/warp of host time
+    inside the timed stereo stage)."""
     h, w = shape
-    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
-                         np.arange(w, dtype=np.float64), indexing="ij")
+    # symmetric lattice (linspace includes both endpoints and mirrors
+    # onto itself, keeping the planner's flip analysis consistent)
+    yy = np.linspace(0.0, h - 1.0, max(2, (h + stride - 1) // stride))
+    xx = np.linspace(0.0, w - 1.0, max(2, (w + stride - 1) // stride))
+    ys, xs = np.meshgrid(yy, xx, indexing="ij")
     den = H[2, 0] * xs + H[2, 1] * ys + H[2, 2]
     den = np.sign(den) * np.maximum(np.abs(den), 1e-12)
     return ((H[0, 0] * xs + H[0, 1] * ys + H[0, 2]) / den,
-            (H[1, 0] * xs + H[1, 1] * ys + H[1, 2]) / den)
+            (H[1, 0] * xs + H[1, 1] * ys + H[1, 2]) / den, xs, ys)
 
 
 def plan_pair_warps(K1: np.ndarray, K2: np.ndarray, R: np.ndarray,
@@ -114,8 +122,8 @@ def plan_pair_warps(K1: np.ndarray, K2: np.ndarray, R: np.ndarray,
     H1, H2, _, _ = rectify_homographies_np(K1, K2, R, t)
     plans = []
     for H in (np.linalg.inv(H1), np.linalg.inv(H2), H1):
-        sx, sy = _np_grid(H, shape)
-        plans.append(plan_grid_band(sx, sy, shape))
+        sx, sy, xs, ys = _np_grid(H, shape, stride=8)
+        plans.append(plan_grid_band(sx, sy, shape, xs=xs, ys=ys))
     return tuple(plans)
 
 

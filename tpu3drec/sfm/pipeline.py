@@ -70,6 +70,14 @@ class SfMConfig:
     # iterations earlier at identical final mean reprojection (the
     # global polish still runs at the tight 1e-6 default)
     incremental_ba_ftol: float = 1e-4
+    # skip the per-view BA solve entirely (0 LM iterations) when the
+    # local window's initial mean reprojection is already below this
+    # (px) — the check runs inside the BA program; the final global
+    # polish cleans up residual drift. 0 disables. (VERDICT r4 #3)
+    incremental_ba_skip_px: float = 0.5
+    # carry the previous incremental solve's final LM damping into the
+    # next solve instead of re-walking from lambda_init
+    warm_start_lambda: bool = True
     optimize_intrinsics: bool = False
     post_ba_max_reproj_px: float = 4.0   # point re-validation (:594-746)
     # pipeline2 variant: joint E+K iterative refinement in two-view init
@@ -215,6 +223,8 @@ class SfMPipeline:
         self.intrinsics = ProgressiveIntrinsicsEstimator()
         self.history: List[Dict] = []
         self._view_timings: Dict[str, float] = {}
+        # warm-start LM damping carried across incremental BA solves
+        self._ba_lambda: Optional[float] = None
         # 2D-3D links pre-established for images that are not cameras yet
         # (track extension + bootstrap, reference triangulation.py:795-855):
         # image name -> list of (point_id, uv). Consumed by _mine_2d3d when
@@ -609,17 +619,33 @@ class SfMPipeline:
             by_cap.setdefault(_bucket(len(idx)), []).append(
                 (other, new_xy, other_xy, idx))
         for cap2, items in by_cap.items():
+            # pad the ITEM count to a power of 2 as well: the vmapped
+            # program's shape is (n_items, cap2), and an unbucketed
+            # leading dim would cost a fresh trace + remote load per
+            # distinct neighbour count (ADVICE r4 #2); padded slots are
+            # all-masked dummies
+            n_pad = 1 << max(0, len(items) - 1).bit_length()
             PN = np.stack([_pad2(it[1][it[3]].astype(np.float32), cap2)
-                           for it in items])
+                           for it in items]
+                          + [np.zeros((cap2, 2), np.float32)]
+                          * (n_pad - len(items)))
             PO = np.stack([_pad2(it[2][it[3]].astype(np.float32), cap2)
-                           for it in items])
-            MM = np.stack([np.arange(cap2) < len(it[3]) for it in items])
+                           for it in items]
+                          + [np.zeros((cap2, 2), np.float32)]
+                          * (n_pad - len(items)))
+            MM = np.stack([np.arange(cap2) < len(it[3]) for it in items]
+                          + [np.zeros(cap2, bool)] * (n_pad - len(items)))
+            eye = np.eye(3, dtype=np.float32)
             K_os = np.stack([recon.cameras[it[0]].K.astype(np.float32)
-                             for it in items])
+                             for it in items]
+                            + [eye] * (n_pad - len(items)))
             R_os = np.stack([recon.cameras[it[0]].R.astype(np.float32)
-                             for it in items])
+                             for it in items]
+                            + [eye] * (n_pad - len(items)))
             t_os = np.stack([recon.cameras[it[0]].t.astype(np.float32)
-                             for it in items])
+                             for it in items]
+                            + [np.ones(3, np.float32)]
+                            * (n_pad - len(items)))
             pts_b, mask_b = _leftover_tri_batch(
                 jnp.asarray(PN), jnp.asarray(PO),
                 jnp.asarray(K.astype(np.float32)),
@@ -657,7 +683,10 @@ class SfMPipeline:
         recent = list(recon.cameras)[-self.config.incremental_ba_window:]
         out = self._run_ba(recon, optimize_cams=recent,
                            max_iters=self.config.ba_max_iters,
-                           ftol=self.config.incremental_ba_ftol)
+                           ftol=self.config.incremental_ba_ftol,
+                           skip_if_below_px=self.config
+                           .incremental_ba_skip_px,
+                           warm_start=self.config.warm_start_lambda)
         tdetail["ba_s"] = time.perf_counter() - t0
         tdetail["ba_iters"] = out.get("iterations", 0)
         self.intrinsics.learn(recon.cameras[name].K, *size)
@@ -854,7 +883,9 @@ class SfMPipeline:
     # ------------------------------------------------------------------
     def _run_ba(self, recon: Reconstruction,
                 optimize_cams: Optional[List[str]] = None,
-                max_iters: int = 20, ftol: float = 1e-6) -> Dict:
+                max_iters: int = 20, ftol: float = 1e-6,
+                skip_if_below_px: float = 0.0,
+                warm_start: bool = False) -> Dict:
         from tpu3drec.ops.ba import bundle_adjust, BAConfig
         if recon.num_points == 0 or recon.num_observations < 10:
             return {"skipped": True}
@@ -862,6 +893,14 @@ class SfMPipeline:
         window_has_obs = optimize_cams is not None and any(
             n in ocam_names and len(recon.camera_obs_arrays(n)[0])
             for n in optimize_cams)
+        cfg = BAConfig(max_iters=max_iters, ftol=ftol,
+                       optimize_intrinsics=self.config.optimize_intrinsics,
+                       skip_if_below_px=skip_if_below_px)
+        # warm-start damping: lambda0 is always passed as a traced float
+        # (one trace signature); cold solves just get lambda_init
+        lam0 = (self._ba_lambda if (warm_start and
+                                    self._ba_lambda is not None)
+                else cfg.lambda_init)
         if window_has_obs and self.config.use_local_ba:
             # windowed incremental BA on the REDUCED problem (points seen
             # by the window + all their anchoring observations) — the
@@ -870,23 +909,21 @@ class SfMPipeline:
             prob, names, pids = recon.to_local_ba_problem(
                 optimize_cams, fix_first=True,
                 optimize_intrinsics=self.config.optimize_intrinsics)
-            res = bundle_adjust(prob, BAConfig(
-                max_iters=max_iters, ftol=ftol,
-                optimize_intrinsics=self.config.optimize_intrinsics))
+            res = bundle_adjust(prob, cfg, lambda0=lam0)
             recon.update_from_local_ba(np.asarray(res.cam_params),
                                        np.asarray(res.points), names, pids)
         else:
             prob, names = recon.to_ba_problem(
                 optimize_cams=optimize_cams, fix_first=True,
                 optimize_intrinsics=self.config.optimize_intrinsics)
-            res = bundle_adjust(prob, BAConfig(
-                max_iters=max_iters, ftol=ftol,
-                optimize_intrinsics=self.config.optimize_intrinsics))
+            res = bundle_adjust(prob, cfg, lambda0=lam0)
             recon.update_from_ba(np.asarray(res.cam_params),
                                  np.asarray(res.points), names)
-        # ONE host pull for all four scalars — separate float()/int()
+        # ONE host pull for all the scalars — separate float()/int()
         # pulls measured 107 ms of tunnel latency per call
         stats = np.asarray(res.stats)
+        if warm_start and int(stats[2]) > 0:
+            self._ba_lambda = float(stats[4])
         return {"cost_initial": float(stats[0]),
                 "cost_final": float(stats[1]),
                 "iterations": int(stats[2]),
