@@ -241,10 +241,15 @@ def bench_deep():
     # knob must flow through the constructors (an outer context manager
     # would be shadowed by the models' inner one)
     prec = os.environ.get("BENCH_DEEP_PRECISION", "default")
+    # BENCH_DEEP_ACT=bfloat16: bf16 activation storage (params f32) —
+    # halves the working set so bigger batches clear the HBM cliff
+    act = os.environ.get("BENCH_DEEP_ACT", "float32")
     N, H, W = 1024, 480, 640
-    sp = SuperPoint(max_features=N, matmul_precision=prec)
+    sp = SuperPoint(max_features=N, matmul_precision=prec,
+                    activation_dtype=act)
     sp.init_random((H, W))
-    lg = LightGlue(input_dim=256, matmul_precision=prec)
+    lg = LightGlue(input_dim=256, matmul_precision=prec,
+                   activation_dtype=act)
     lg.init_random()
 
     def pair_fn(img1, img2):
@@ -271,7 +276,7 @@ def bench_deep():
         dt = (time.perf_counter() - t0) / REPS
     print(json.dumps({
         "metric": f"deep pairs/s SuperPoint+LightGlue (1K kpts, 640x480,"
-                  f" batch {B}, matmul {prec})",
+                  f" batch {B}, matmul {prec}, act {act})",
         "value": round(B / dt, 3),
         "unit": "pairs/s",
         "vs_reference_cpu_s_per_pair": 9.3,

@@ -134,3 +134,52 @@ def test_matcher_factory_resolution_and_matching():
     # recommended fallback
     fn2 = fac.create_matcher("ORB")
     assert callable(fn2)
+
+
+def test_bf16_activation_storage_tracks_f32():
+    """activation_dtype='bfloat16' (VERDICT r4 #7): params stay f32,
+    activations compute/store in bf16; outputs must track the f32 path
+    closely (the knob exists to halve the TPU HBM working set, not to
+    change results)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu3drec.models.superpoint import SuperPoint
+    from tpu3drec.models.lightglue import LightGlueNet
+
+    rng = np.random.default_rng(0)
+    H, W, N = 120, 160, 256
+    img = np.zeros((H, W), np.float32)
+    for _ in range(60):
+        y, x = rng.integers(0, H - 12), rng.integers(0, W - 12)
+        img[y:y + rng.integers(3, 12),
+            x:x + rng.integers(3, 12)] += rng.uniform(-0.5, 0.5)
+    img -= img.min()
+    img /= img.max()
+    sp32 = SuperPoint(max_features=N)
+    p = sp32.init_random((H, W))
+    spbf = SuperPoint(max_features=N, activation_dtype="bfloat16")
+    spbf.params = p
+    # params are shared f32; only activations differ
+    f32 = sp32.extract(jnp.asarray(img))
+    fbf = spbf.extract(jnp.asarray(img))
+    xy32 = set(map(tuple, np.asarray(f32.xy)[np.asarray(f32.mask)]
+                   .astype(int).tolist()))
+    xybf = set(map(tuple, np.asarray(fbf.xy)[np.asarray(fbf.mask)]
+                   .astype(int).tolist()))
+    assert len(xy32 & xybf) / max(len(xy32), 1) > 0.8
+
+    net32 = LightGlueNet(n_layers=3)
+    netbf = LightGlueNet(n_layers=3, dtype=jnp.bfloat16)
+    d0 = jnp.asarray(rng.standard_normal((N, 256)).astype(np.float32))
+    d1 = jnp.asarray(rng.standard_normal((N, 256)).astype(np.float32))
+    xy = jnp.asarray(rng.uniform(-1, 1, (N, 2)).astype(np.float32))
+    m = jnp.ones(N, bool)
+    params = net32.init(jax.random.PRNGKey(0), d0, d1, xy, xy, m, m)
+    _, sim32, *_ = net32.apply(params, d0, d1, xy, xy, m, m)
+    _, simbf, *_ = netbf.apply(params, d0, d1, xy, xy, m, m)
+    assert simbf.dtype == jnp.float32  # assignment head scores in f32
+    corr = np.corrcoef(np.asarray(sim32).ravel(),
+                       np.asarray(simbf).ravel())[0, 1]
+    agree = (np.asarray(sim32).argmax(1)
+             == np.asarray(simbf).argmax(1)).mean()
+    assert corr > 0.98 and agree > 0.9, (corr, agree)

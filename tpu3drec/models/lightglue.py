@@ -70,11 +70,12 @@ class FourierPE(nn.Module):
     """LearnableFourierPositionalEncoding(M=2, dim=head_dim): returns the
     interleaved (cos, sin) tables shared by every head."""
     head_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xy_norm):
         proj = nn.Dense(self.head_dim // 2, use_bias=False,
-                        name="Wr")(xy_norm)              # (N, dh/2)
+                        name="Wr", dtype=self.dtype)(xy_norm)  # (N, dh/2)
         cos = jnp.cos(proj)
         sin = jnp.sin(proj)
         # repeat_interleave(2): [c0, c0, c1, c1, ...]
@@ -86,13 +87,14 @@ class FourierPE(nn.Module):
 class SelfBlock(nn.Module):
     dim: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cos_i, sin_i, mask):
         n = x.shape[0]
         h = self.heads
         dh = self.dim // h
-        qkv = nn.Dense(3 * self.dim, name="Wqkv")(x)
+        qkv = nn.Dense(3 * self.dim, name="Wqkv", dtype=self.dtype)(x)
         # torch: unflatten(-1, (dh, h, 3)) then transpose -> (3, h, dh)
         qkv = qkv.reshape(n, dh, h, 3)
         q = jnp.transpose(qkv[..., 0], (0, 2, 1))        # (N, h, dh)
@@ -104,27 +106,28 @@ class SelfBlock(nn.Module):
         att = jnp.where(mask[None, None, :], att, -1e9)
         att = jax.nn.softmax(att, axis=-1)
         ctx = jnp.einsum("hnm,mhd->nhd", att, v).reshape(n, self.dim)
-        msg = nn.Dense(self.dim, name="out_proj")(ctx)
+        msg = nn.Dense(self.dim, name="out_proj", dtype=self.dtype)(ctx)
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * self.dim, name="ffn_0")(y)
-        y = nn.LayerNorm(epsilon=1e-5, name="ffn_1")(y)
+        y = nn.Dense(2 * self.dim, name="ffn_0", dtype=self.dtype)(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="ffn_1", dtype=self.dtype)(y)
         y = jax.nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, name="ffn_3")(y)
+        y = nn.Dense(self.dim, name="ffn_3", dtype=self.dtype)(y)
         return x + y
 
 
 class CrossBlock(nn.Module):
     dim: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x0, x1, mask0, mask1):
         h = self.heads
         dh = self.dim // h
         scale = dh ** -0.25
-        to_qk = nn.Dense(self.dim, name="to_qk")
-        to_v = nn.Dense(self.dim, name="to_v")
-        to_out = nn.Dense(self.dim, name="to_out")
+        to_qk = nn.Dense(self.dim, name="to_qk", dtype=self.dtype)
+        to_v = nn.Dense(self.dim, name="to_v", dtype=self.dtype)
+        to_out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)
         qk0 = to_qk(x0).reshape(-1, h, dh) * scale
         qk1 = to_qk(x1).reshape(-1, h, dh) * scale
         v0 = to_v(x0).reshape(-1, h, dh)
@@ -139,9 +142,9 @@ class CrossBlock(nn.Module):
         m0 = to_out(m0)
         m1 = to_out(m1)
 
-        ffn_0 = nn.Dense(2 * self.dim, name="ffn_0")
-        ffn_1 = nn.LayerNorm(epsilon=1e-5, name="ffn_1")
-        ffn_3 = nn.Dense(self.dim, name="ffn_3")
+        ffn_0 = nn.Dense(2 * self.dim, name="ffn_0", dtype=self.dtype)
+        ffn_1 = nn.LayerNorm(epsilon=1e-5, name="ffn_1", dtype=self.dtype)
+        ffn_3 = nn.Dense(self.dim, name="ffn_3", dtype=self.dtype)
 
         def ffn(x, m):
             y = jnp.concatenate([x, m], axis=-1)
@@ -154,37 +157,47 @@ class CrossBlock(nn.Module):
 class GlueLayer(nn.Module):
     dim: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, d0, d1, pe0, pe1, mask0, mask1):
-        sa = SelfBlock(self.dim, self.heads, name="self_attn")
+        sa = SelfBlock(self.dim, self.heads, dtype=self.dtype,
+                       name="self_attn")
         d0 = sa(d0, pe0[0], pe0[1], mask0)
         d1 = sa(d1, pe1[0], pe1[1], mask1)
-        d0, d1 = CrossBlock(self.dim, self.heads, name="cross_attn")(
-            d0, d1, mask0, mask1)
+        d0, d1 = CrossBlock(self.dim, self.heads, dtype=self.dtype,
+                            name="cross_attn")(d0, d1, mask0, mask1)
         return d0, d1
 
 
 class LightGlueNet(nn.Module):
+    """dtype = ACTIVATION/compute dtype (params stay f32): bfloat16
+    halves the transformer working set; the final assignment head always
+    scores in f32."""
     dim: int = 256
     n_layers: int = 9
     heads: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, desc0, desc1, xy0, xy1, mask0, mask1):
         """xy*: normalized keypoints. Returns (log_assign (N, M), sim,
         z0, z1) — matchability logits, gating already applied."""
-        in_proj = nn.Dense(self.dim, name="input_proj")
-        d0 = in_proj(desc0)
-        d1 = in_proj(desc1)
-        pe = FourierPE(self.dim // self.heads, name="posenc")
+        in_proj = nn.Dense(self.dim, name="input_proj", dtype=self.dtype)
+        d0 = in_proj(desc0.astype(self.dtype))
+        d1 = in_proj(desc1.astype(self.dtype))
+        pe = FourierPE(self.dim // self.heads, dtype=self.dtype,
+                       name="posenc")
         pe0 = pe(xy0)
         pe1 = pe(xy1)
         for i in range(self.n_layers):
-            d0, d1 = GlueLayer(self.dim, self.heads,
+            d0, d1 = GlueLayer(self.dim, self.heads, dtype=self.dtype,
                                name=f"transformers_{i}")(
                 d0, d1, pe0, pe1, mask0, mask1)
         # final MatchAssignment head (log_assignment[-1] in the torch tree)
+        # assignment head scores in f32 regardless of activation dtype
+        d0 = d0.astype(jnp.float32)
+        d1 = d1.astype(jnp.float32)
         fp = nn.Dense(self.dim, name="final_proj")
         f0 = fp(d0) / self.dim ** 0.25
         f1 = fp(d1) / self.dim ** 0.25
@@ -208,8 +221,12 @@ class LightGlue:
 
     def __init__(self, params: Optional[Dict] = None, dim: int = 256,
                  n_layers: int = 9, heads: int = 4, input_dim: int = 256,
-                 matmul_precision: str = "default"):
-        self.net = LightGlueNet(dim=dim, n_layers=n_layers, heads=heads)
+                 matmul_precision: str = "default",
+                 activation_dtype: str = "float32"):
+        # activation_dtype="bfloat16": bf16 activations (params f32) —
+        # halves the transformer working set; construction-time only
+        self.net = LightGlueNet(dim=dim, n_layers=n_layers, heads=heads,
+                                dtype=jnp.dtype(activation_dtype))
         self.params = params
         self.input_dim = input_dim
         # attention/MLP matmuls at native MXU precision (see

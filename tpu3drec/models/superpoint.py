@@ -30,16 +30,27 @@ from tpu3drec.core.types import Features, DescriptorKind
 
 
 class SuperPointNet(nn.Module):
-    """Encoder + detector/descriptor heads (original SuperPoint layout)."""
+    """Encoder + detector/descriptor heads (original SuperPoint layout).
+
+    ``dtype`` is the ACTIVATION/compute dtype (params always stored
+    f32): bfloat16 halves the activation working set, which is what
+    gates the TPU batch size (batch 48 at f32 activations collapsed
+    under HBM pressure, CLAUDE.md). Heads still emit f32 (softmax and
+    descriptor normalization run in f32 either way).
+    """
 
     desc_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """x: (B, H, W, 1) float in [0,1] -> (scores (B,H,W),
         desc (B, H/8, W/8, 256) L2-normalized)."""
+        x = x.astype(self.dtype)
+
         def conv(x, ch, name):
-            x = nn.Conv(ch, (3, 3), padding="SAME", name=name)(x)
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=name,
+                        dtype=self.dtype)(x)
             return nn.relu(x)
 
         x = conv(x, 64, "conv1a")
@@ -55,16 +66,20 @@ class SuperPointNet(nn.Module):
         x = conv(x, 128, "conv4b")
 
         # detector head: 65 = 8*8 + dustbin
-        cpa = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="convPa")(x))
-        semi = nn.Conv(65, (1, 1), name="convPb")(cpa)  # (B, H/8, W/8, 65)
-        prob = jax.nn.softmax(semi, axis=-1)[..., :64]
+        cpa = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="convPa",
+                              dtype=self.dtype)(x))
+        semi = nn.Conv(65, (1, 1), name="convPb",
+                       dtype=self.dtype)(cpa)  # (B, H/8, W/8, 65)
+        prob = jax.nn.softmax(semi.astype(jnp.float32), axis=-1)[..., :64]
         b, hc, wc, _ = prob.shape
         heat = prob.reshape(b, hc, wc, 8, 8)
         heat = heat.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
 
         # descriptor head
-        cda = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="convDa")(x))
-        desc = nn.Conv(self.desc_dim, (1, 1), name="convDb")(cda)
+        cda = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="convDa",
+                              dtype=self.dtype)(x))
+        desc = nn.Conv(self.desc_dim, (1, 1), name="convDb",
+                       dtype=self.dtype)(cda).astype(jnp.float32)
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
         return heat, desc
@@ -86,8 +101,14 @@ class SuperPoint:
                  max_features: int = 2048,
                  keypoint_threshold: float = 0.005,
                  nms_radius: int = 4,
-                 matmul_precision: str = "default"):
-        self.net = SuperPointNet()
+                 matmul_precision: str = "default",
+                 activation_dtype: str = "float32"):
+        # activation_dtype="bfloat16" halves the activation working set
+        # (params stay f32) — the knob that clears the TPU batch-48 HBM
+        # cliff (VERDICT r4 #7). Default f32: parity tests compare
+        # against the torch mirrors. Construction-time only, like
+        # matmul_precision.
+        self.net = SuperPointNet(dtype=jnp.dtype(activation_dtype))
         self.params = params
         self.max_features = max_features
         self.keypoint_threshold = keypoint_threshold
