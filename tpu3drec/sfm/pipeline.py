@@ -33,6 +33,7 @@ import numpy as np
 
 from tpu3drec.sfm.reconstruction import Camera, Reconstruction
 from tpu3drec.sfm.pair_selector import InitializationPairSelector, ScoringConfig
+from tpu3drec.sfm.correspondence import min_dists as _min_dists
 from tpu3drec.sfm.intrinsics import ProgressiveIntrinsicsEstimator, heuristic_K
 
 
@@ -89,6 +90,13 @@ class SfMConfig:
     enable_progressive: bool = True
     enable_track_extension: bool = True
     progressive_tolerance_px: float = 4.0
+    # an unprocessed image that already holds this many pending 2D-3D
+    # links is not re-bootstrapped: progressive triangulation otherwise
+    # re-scans EVERY unprocessed image after EVERY registered view
+    # (O(V^2) over a folder; measured 21% of steady per-view cost) for
+    # links those images mostly already have. 0 restores the exhaustive
+    # reference behaviour (CPE/pipeline.py:1138-1265).
+    progressive_min_pending: int = 30
     track_extension_tolerance_px: float = 2.0
     max_points_per_pair: int = 150       # TriangulationConfig caps
     max_bootstrap_points_per_anchor: int = 200
@@ -116,27 +124,17 @@ def _pad2(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _min_dists(q: np.ndarray, ref: np.ndarray,
-               chunk: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-query nearest neighbour in a 2D reference set.
-
-    cKDTree when the O(N*M) block would be large (reference-scale SfM:
-    thousands of per-camera observations x thousands of query
-    correspondences per pair); the chunked dense form for small sets
-    where tree construction overhead dominates."""
-    if len(q) * len(ref) > 1 << 18 and len(ref) >= 32:
-        from scipy.spatial import cKDTree
-        dist, idx = cKDTree(ref).query(q, k=1)
-        return np.asarray(dist, float), np.asarray(idx, int)
-    n = len(q)
-    dist = np.empty(n)
-    idx = np.empty(n, int)
-    for s in range(0, n, chunk):
-        d = np.linalg.norm(q[s:s + chunk, None, :] - ref[None], axis=2)
-        j = d.argmin(axis=1)
-        idx[s:s + chunk] = j
-        dist[s:s + chunk] = d[np.arange(len(j)), j]
-    return dist, idx
+def _split_packed(packed, prob):
+    """Split BAResult.packed (ONE tunnel pull) back into
+    (cam_params (C,10), points (P,3), stats (5,)) numpy arrays —
+    separate np.asarray of the three fields costs three ~30-80 ms round
+    trips per incremental solve."""
+    C = prob.cam_params.shape[0]
+    P = prob.points.shape[0]
+    flat = np.asarray(packed)
+    return (flat[:C * 10].reshape(C, 10),
+            flat[C * 10:C * 10 + P * 3].reshape(P, 3),
+            flat[C * 10 + P * 3:])
 
 
 _PPB_JIT = None   # single jitted instance so the trace cache persists
@@ -152,6 +150,7 @@ def _progressive_pair_batch(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
     if _PPB_JIT is None:
         import functools
         import jax
+        import jax.numpy as jnp
         from tpu3drec.ops.epipolar import find_essential, recover_pose
         from tpu3drec.ops.triangulate import triangulate_two_view
 
@@ -172,9 +171,15 @@ def _progressive_pair_batch(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
                 tri = triangulate_two_view(p1, p2, K_a, K_b, R_a, t_a,
                                            R_b, t_b, mask=eres.inliers,
                                            config=tri_cfg)
-                return {"points": tri.points, "tri_mask": tri.mask,
-                        "success": eres.success,
-                        "num_inliers": eres.num_inliers}
+                # ONE flat row per pair [pts.ravel() | mask | success,
+                # n_inliers]: the caller pulls the whole chunk in a
+                # single tunnel round trip instead of four
+                return jnp.concatenate([
+                    tri.points.ravel(),
+                    tri.mask.astype(jnp.float32),
+                    jnp.stack([eres.success.astype(jnp.float32),
+                               eres.num_inliers.astype(jnp.float32)]),
+                ])
 
             return jax.vmap(one)(P1, P2, K_bs, M, seeds)
 
@@ -200,11 +205,16 @@ def _leftover_tri_batch(PN, PO, K_new, R_new, t_new, K_os, R_os, t_os,
         @_ft.partial(jax.jit, static_argnames=("tri_cfg",))
         def batch(PN, PO, K_new, R_new, t_new, K_os, R_os, t_os, M,
                   tri_cfg):
+            import jax.numpy as jnp
+
             def one(pn, po, K_o, R_o, t_o, mask):
                 tri = triangulate_two_view(pn, po, K_new, K_o,
                                            R_new, t_new, R_o, t_o,
                                            mask=mask, config=tri_cfg)
-                return tri.points, tri.mask
+                # [points | mask] packed so the caller pulls ONE array
+                return jnp.concatenate(
+                    [tri.points,
+                     tri.mask.astype(jnp.float32)[:, None]], axis=1)
 
             return jax.vmap(one)(PN, PO, K_os, R_os, t_os, M)
 
@@ -225,6 +235,9 @@ class SfMPipeline:
         self._view_timings: Dict[str, float] = {}
         # warm-start LM damping carried across incremental BA solves
         self._ba_lambda: Optional[float] = None
+        # running (EWMA) converged mean-reprojection of incremental
+        # solves — the adaptive skip threshold's noise-floor estimate
+        self._ba_mre_ewma: Optional[float] = None
         # 2D-3D links pre-established for images that are not cameras yet
         # (track extension + bootstrap, reference triangulation.py:795-855):
         # image name -> list of (point_id, uv). Consumed by _mine_2d3d when
@@ -646,15 +659,15 @@ class SfMPipeline:
                              for it in items]
                             + [np.ones(3, np.float32)]
                             * (n_pad - len(items)))
-            pts_b, mask_b = _leftover_tri_batch(
+            packed_b = np.asarray(_leftover_tri_batch(
                 jnp.asarray(PN), jnp.asarray(PO),
                 jnp.asarray(K.astype(np.float32)),
                 jnp.asarray(R.astype(np.float32)),
                 jnp.asarray(t.astype(np.float32)),
                 jnp.asarray(K_os), jnp.asarray(R_os), jnp.asarray(t_os),
-                jnp.asarray(MM), tri_cfg)
-            pts_b = np.asarray(pts_b)
-            mask_b = np.asarray(mask_b)
+                jnp.asarray(MM), tri_cfg))    # (n_pad, cap2, 4), 1 pull
+            pts_b = packed_b[..., :3]
+            mask_b = packed_b[..., 3] > 0.5
             for (other, new_xy, other_xy, idx), pts_i, m_i in zip(
                     items, pts_b, mask_b):
                 sel = np.where(m_i)[0]
@@ -748,6 +761,10 @@ class SfMPipeline:
             # dispatches per pair through the remote tunnel)
             cands = []
             for boot in unprocessed:
+                if (cfg.progressive_min_pending > 0
+                        and len(self.pending_obs.get(boot, []))
+                        >= cfg.progressive_min_pending):
+                    continue   # already richly linked; skip re-bootstrap
                 corr = lookup_pair(matches_data, anchor, boot)
                 if corr is None or len(corr) < 8:
                     continue
@@ -800,10 +817,12 @@ class SfMPipeline:
                         jnp.asarray(np.asarray(seeds, np.uint32)),
                         cfg.essential_threshold_px, cfg.essential_method,
                         tri_cfg)
-                    pts_g = np.asarray(out["points"], np.float64)
-                    mask_g = np.asarray(out["tri_mask"])
-                    ok_g = np.asarray(out["success"])
-                    ninl_g = np.asarray(out["num_inliers"])
+                    flat = np.asarray(out)        # (CHUNK, cap*4 + 2)
+                    pts_g = flat[:, :cap * 3].reshape(
+                        len(flat), cap, 3).astype(np.float64)
+                    mask_g = flat[:, cap * 3:cap * 4] > 0.5
+                    ok_g = flat[:, cap * 4] > 0.5
+                    ninl_g = flat[:, cap * 4 + 1].astype(np.int64)
                     for g, (boot, a_f, b_f, K_b) in enumerate(part):
                         results[boot] = (pts_g[g], mask_g[g],
                                          bool(ok_g[g]), int(ninl_g[g]),
@@ -901,6 +920,14 @@ class SfMPipeline:
         lam0 = (self._ba_lambda if (warm_start and
                                     self._ba_lambda is not None)
                 else cfg.lambda_init)
+        # adaptive skip threshold: a fixed pixel gate can't know the
+        # scene's noise floor — once solves converge around some mean
+        # reprojection, a new view whose initial error is already there
+        # has nothing for LM to recover (the final global polish handles
+        # residual drift). Floor = the config value.
+        skip_thr = skip_if_below_px
+        if skip_if_below_px > 0 and self._ba_mre_ewma is not None:
+            skip_thr = max(skip_if_below_px, 1.05 * self._ba_mre_ewma)
         if window_has_obs and self.config.use_local_ba:
             # windowed incremental BA on the REDUCED problem (points seen
             # by the window + all their anchoring observations) — the
@@ -909,21 +936,24 @@ class SfMPipeline:
             prob, names, pids = recon.to_local_ba_problem(
                 optimize_cams, fix_first=True,
                 optimize_intrinsics=self.config.optimize_intrinsics)
-            res = bundle_adjust(prob, cfg, lambda0=lam0)
-            recon.update_from_local_ba(np.asarray(res.cam_params),
-                                       np.asarray(res.points), names, pids)
+            res = bundle_adjust(prob, cfg, lambda0=lam0,
+                                skip_below_px=skip_thr)
+            cams_np, pts_np, stats = _split_packed(res.packed, prob)
+            recon.update_from_local_ba(cams_np, pts_np, names, pids)
         else:
             prob, names = recon.to_ba_problem(
                 optimize_cams=optimize_cams, fix_first=True,
                 optimize_intrinsics=self.config.optimize_intrinsics)
-            res = bundle_adjust(prob, cfg, lambda0=lam0)
-            recon.update_from_ba(np.asarray(res.cam_params),
-                                 np.asarray(res.points), names)
-        # ONE host pull for all the scalars — separate float()/int()
-        # pulls measured 107 ms of tunnel latency per call
-        stats = np.asarray(res.stats)
+            res = bundle_adjust(prob, cfg, lambda0=lam0,
+                                skip_below_px=skip_thr)
+            cams_np, pts_np, stats = _split_packed(res.packed, prob)
+            recon.update_from_ba(cams_np, pts_np, names)
         if warm_start and int(stats[2]) > 0:
             self._ba_lambda = float(stats[4])
+        if skip_if_below_px > 0 and int(stats[2]) > 0:
+            mre = float(stats[3])
+            self._ba_mre_ewma = (mre if self._ba_mre_ewma is None
+                                 else 0.7 * self._ba_mre_ewma + 0.3 * mre)
         return {"cost_initial": float(stats[0]),
                 "cost_final": float(stats[1]),
                 "iterations": int(stats[2]),
