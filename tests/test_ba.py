@@ -220,4 +220,4 @@ def test_ba_warm_start_lambda():
     # a different damping trajectory may settle in a slightly different
     # local optimum — the quality must match, not the exact params
     assert float(warm.mean_reproj_px) < float(cold.mean_reproj_px) + 0.05
-    assert np.asarray(cold.stats).shape == (5,)
+    assert np.asarray(cold.stats).shape == (6,)

@@ -86,13 +86,14 @@ class BAResult(NamedTuple):
     cost_final: jnp.ndarray
     iterations: jnp.ndarray
     mean_reproj_px: jnp.ndarray
-    # (5,) [cost_initial, cost_final, iterations, mean_reproj_px,
-    # final_lambda] — the scalar fields packed so a caller syncs them in
+    # (6,) [cost_initial, cost_final, iterations, mean_reproj_px,
+    # final_lambda, initial_mean_reproj_px] — the scalar fields packed
+    # so a caller syncs them in
     # ONE host pull (four separate float()/int() pulls measured 107 ms
     # of tunnel latency per incremental-BA call); final_lambda feeds the
     # next incremental solve's warm start.
     stats: jnp.ndarray
-    # (C*10 + P*3 + 5,) [cam_params.ravel(), points.ravel(), stats] —
+    # (C*10 + P*3 + 6,) [cam_params.ravel(), points.ravel(), stats] —
     # the ENTIRE result in one array so the incremental-SfM caller pays
     # ONE tunnel pull per solve instead of three (cams + points + stats
     # each cost a ~30-80 ms round trip)
@@ -419,7 +420,7 @@ def bundle_adjust(prob: BAProblem,
     mean_px = allsum(jnp.sum(nf * mf)) / jnp.maximum(
         allsum(jnp.sum(mf)), 1.0)
     stats = jnp.stack([cost0, cost, iters.astype(jnp.float32), mean_px,
-                       lam])
+                       lam, mr0])
     return BAResult(cam_params=cams, points=pts,
                     cost_initial=cost0, cost_final=cost,
                     iterations=iters,

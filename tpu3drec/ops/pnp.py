@@ -99,6 +99,10 @@ class PnPResult(NamedTuple):
     inlier_ratio: jnp.ndarray
     success: jnp.ndarray
     mean_reproj_px: jnp.ndarray
+    # (14 + N,) [success, num_inliers, inlier_ratio, mean_reproj_px,
+    # R.ravel(), t, inliers] — whole result in ONE host pull (the SfM
+    # per-view path otherwise pays ~5 tunnel round trips per PnP)
+    packed: Optional[jnp.ndarray] = None
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters",
@@ -171,7 +175,12 @@ def solve_pnp_ransac(X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
     w = inl.astype(err.dtype)
     mean_err = jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
+    success = res.success & (num >= min_inliers)
+    packed = jnp.concatenate([
+        jnp.stack([success.astype(jnp.float32), num.astype(jnp.float32),
+                   (num / n_valid).astype(jnp.float32), mean_err]),
+        R.ravel(), t.reshape(3), inl.astype(jnp.float32)])
     return PnPResult(R=R, t=t, inliers=inl, num_inliers=num,
                      inlier_ratio=num / n_valid,
-                     success=res.success & (num >= min_inliers),
-                     mean_reproj_px=mean_err)
+                     success=success,
+                     mean_reproj_px=mean_err, packed=packed)

@@ -126,7 +126,7 @@ def sharded_bundle_adjust(prob: BAProblem,
         res = bundle_adjust(local, config, axis_name=axis)
         return (res.cam_params, res.points, res.cost_initial,
                 res.cost_final, res.iterations, res.mean_reproj_px,
-                res.stats[4])
+                res.stats[4], res.stats[5])
 
     sharded = P(axis)
     rep = P()
@@ -134,10 +134,10 @@ def sharded_bundle_adjust(prob: BAProblem,
         run, mesh=mesh,
         in_specs=(rep, rep, sharded, sharded,
                   sharded, sharded, sharded, sharded),
-        out_specs=(rep, sharded, rep, rep, rep, rep, rep),
+        out_specs=(rep, sharded, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    cams, pts, c0, c1, iters, mpx, lam = jax.jit(fn)(
+    cams, pts, c0, c1, iters, mpx, lam, mr0 = jax.jit(fn)(
         stacked.cam_params, stacked.param_mask,
         stacked.points, stacked.point_mask,
         stacked.obs_cam, stacked.obs_pt, stacked.obs_uv, stacked.obs_mask)
@@ -145,4 +145,5 @@ def sharded_bundle_adjust(prob: BAProblem,
                     cost_initial=c0, cost_final=c1, iterations=iters,
                     mean_reproj_px=mpx,
                     stats=jnp.stack([c0, c1,
-                                     iters.astype(jnp.float32), mpx, lam]))
+                                     iters.astype(jnp.float32), mpx, lam,
+                                     mr0]))

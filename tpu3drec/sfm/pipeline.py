@@ -76,6 +76,13 @@ class SfMConfig:
     # (px) — the check runs inside the BA program; the final global
     # polish cleans up residual drift. 0 disables. (VERDICT r4 #3)
     incremental_ba_skip_px: float = 0.5
+    # adaptive part of the gate: also skip when the initial mean
+    # reprojection is within this many px of the trailing converged
+    # value — measured per-view solves past the first few improve mre
+    # by <=0.02 px while burning 4-6 LM iterations; the gate
+    # self-regulates (skipping pauses the EWMA, drift eventually
+    # crosses the margin and triggers a real solve)
+    incremental_ba_skip_margin_px: float = 0.08
     # carry the previous incremental solve's final LM damping into the
     # next solve instead of re-walking from lambda_init
     warm_start_lambda: bool = True
@@ -235,9 +242,11 @@ class SfMPipeline:
         self._view_timings: Dict[str, float] = {}
         # warm-start LM damping carried across incremental BA solves
         self._ba_lambda: Optional[float] = None
-        # running (EWMA) converged mean-reprojection of incremental
-        # solves — the adaptive skip threshold's noise-floor estimate
-        self._ba_mre_ewma: Optional[float] = None
+        # last converged mean-reprojection of an incremental solve —
+        # the adaptive skip threshold's noise-floor estimate (an EWMA
+        # lags the natural creep of the noise floor as the map grows
+        # and never fires; measured 2026-08-19)
+        self._ba_mre_last: Optional[float] = None
         # 2D-3D links pre-established for images that are not cameras yet
         # (track extension + bootstrap, reference triangulation.py:795-855):
         # image name -> list of (point_id, uv). Consumed by _mine_2d3d when
@@ -602,16 +611,20 @@ class SfMPipeline:
                                mask=jnp.asarray(mask),
                                threshold_px=self.config.pnp_threshold_px,
                                key=jax.random.PRNGKey(len(recon.cameras)))
-        success = bool(res.success)
+        # whole PnP result in ONE pull (success/num_inliers/R/t/inliers
+        # as separate np.asarray calls cost ~5 tunnel round trips)
+        flat = np.asarray(res.packed)
+        success = flat[0] > 0.5
+        num_inliers = int(flat[1])
         tdetail["pnp_s"] = time.perf_counter() - t0
         if not success or \
-                int(res.num_inliers) < self.config.min_pnp_correspondences:
+                num_inliers < self.config.min_pnp_correspondences:
             return False
 
-        R = np.asarray(res.R, np.float64)
-        t = np.asarray(res.t, np.float64)
+        R = flat[4:13].reshape(3, 3).astype(np.float64)
+        t = flat[13:16].astype(np.float64)
         recon.add_camera(Camera(name, R, t, K, size))
-        inl = np.where(np.asarray(res.inliers)[:n])[0]
+        inl = np.where(flat[16:16 + n] > 0.5)[0]
         recon.add_observations_batch(name, pids[inl], uv[inl])
         self.pending_obs.pop(name, None)
 
@@ -702,6 +715,8 @@ class SfMPipeline:
                            warm_start=self.config.warm_start_lambda)
         tdetail["ba_s"] = time.perf_counter() - t0
         tdetail["ba_iters"] = out.get("iterations", 0)
+        tdetail["ba_mre0"] = out.get("initial_mean_reproj_px", -1.0)
+        tdetail["ba_mre"] = out.get("mean_reproj_px", -1.0)
         self.intrinsics.learn(recon.cameras[name].K, *size)
         return True
 
@@ -926,8 +941,10 @@ class SfMPipeline:
         # has nothing for LM to recover (the final global polish handles
         # residual drift). Floor = the config value.
         skip_thr = skip_if_below_px
-        if skip_if_below_px > 0 and self._ba_mre_ewma is not None:
-            skip_thr = max(skip_if_below_px, 1.05 * self._ba_mre_ewma)
+        if skip_if_below_px > 0 and self._ba_mre_last is not None:
+            skip_thr = max(skip_if_below_px,
+                           self._ba_mre_last
+                           + self.config.incremental_ba_skip_margin_px)
         if window_has_obs and self.config.use_local_ba:
             # windowed incremental BA on the REDUCED problem (points seen
             # by the window + all their anchoring observations) — the
@@ -951,13 +968,12 @@ class SfMPipeline:
         if warm_start and int(stats[2]) > 0:
             self._ba_lambda = float(stats[4])
         if skip_if_below_px > 0 and int(stats[2]) > 0:
-            mre = float(stats[3])
-            self._ba_mre_ewma = (mre if self._ba_mre_ewma is None
-                                 else 0.7 * self._ba_mre_ewma + 0.3 * mre)
+            self._ba_mre_last = float(stats[3])
         return {"cost_initial": float(stats[0]),
                 "cost_final": float(stats[1]),
                 "iterations": int(stats[2]),
-                "mean_reproj_px": float(stats[3])}
+                "mean_reproj_px": float(stats[3]),
+                "initial_mean_reproj_px": float(stats[5])}
 
     def _global_ba(self, recon: Reconstruction) -> Dict:
         """GlobalBundleAdjuster equivalent (bundle_adjusment.py:414-502).
