@@ -235,15 +235,19 @@ def bench_deep():
     from tpu3drec.models.superpoint import SuperPoint
     from tpu3drec.models.lightglue import LightGlue
 
-    B = int(os.environ.get("BENCH_DEEP_BATCH", "32"))
+    # Defaults are the r5 TPU-measured optimum: bf16 activation storage
+    # (params f32) halves the working set, clearing the batch-48 HBM
+    # cliff (f32-act batch 48 collapsed to 9.3 pairs/s). Measured sweep
+    # (2026-08-19): bf16 act 32/48/64 -> 163.7/189.0/189.8 pairs/s vs
+    # 137.4 at f32-act batch 32. Quality holds: sim corr 0.9999, SP
+    # keypoint overlap 99.6% vs f32 (tests/test_models.py bf16 cases).
+    B = int(os.environ.get("BENCH_DEEP_BATCH", "64"))
     REPS = int(os.environ.get("BENCH_REPS", "5"))
     # models carry their own matmul-precision context now, so the env
     # knob must flow through the constructors (an outer context manager
     # would be shadowed by the models' inner one)
     prec = os.environ.get("BENCH_DEEP_PRECISION", "default")
-    # BENCH_DEEP_ACT=bfloat16: bf16 activation storage (params f32) —
-    # halves the working set so bigger batches clear the HBM cliff
-    act = os.environ.get("BENCH_DEEP_ACT", "float32")
+    act = os.environ.get("BENCH_DEEP_ACT", "bfloat16")
     N, H, W = 1024, 480, 640
     sp = SuperPoint(max_features=N, matmul_precision=prec,
                     activation_dtype=act)
