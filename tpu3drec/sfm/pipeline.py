@@ -107,6 +107,15 @@ class SfMConfig:
     track_extension_tolerance_px: float = 2.0
     max_points_per_pair: int = 150       # TriangulationConfig caps
     max_bootstrap_points_per_anchor: int = 200
+    # background compile prewarm: a worker thread traces + compiles +
+    # loads the predictable-shape programs (PnP/triangulation buckets up
+    # front, BA buckets one rung ahead of each realized solve) on dummy
+    # inputs while the pipeline works, so cold-start view additions hit
+    # a warm executable cache (sfm/prewarm.py; a cold 50-view folder
+    # spends ~120 of 155 s in first-trace + remote compile/load).
+    # None = auto: on for non-CPU backends (XLA:CPU compiles are fast
+    # and the single-core test machine would only lose to contention).
+    prewarm_compile: Optional[bool] = None
 
     @property
     def mine_tolerance_px(self) -> float:  # backwards compat
@@ -145,6 +154,11 @@ def _split_packed(packed, prob):
 
 
 _PPB_JIT = None   # single jitted instance so the trace cache persists
+# guards the lazy builds below: the compile-prewarm worker thread
+# (sfm/prewarm.py) calls these wrappers concurrently with the pipeline,
+# and a double build would split the executable cache across two jit
+# instances (the warm would then be wasted)
+_LAZY_JIT_LOCK = __import__("threading").Lock()
 
 
 def _progressive_pair_batch(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
@@ -153,6 +167,14 @@ def _progressive_pair_batch(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
     essential RANSAC -> pose recovery -> two-view triangulation, fused so
     the progressive-triangulation loop costs one device dispatch per
     capacity bucket instead of three per pair."""
+    global _PPB_JIT
+    with _LAZY_JIT_LOCK:
+        _build_ppb_jit()
+    return _PPB_JIT(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
+                    threshold_px, method, tri_cfg)
+
+
+def _build_ppb_jit():
     global _PPB_JIT
     if _PPB_JIT is None:
         import functools
@@ -192,9 +214,6 @@ def _progressive_pair_batch(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
 
         _PPB_JIT = batch
 
-    return _PPB_JIT(P1, P2, K_a, K_bs, R_a, t_a, M, seeds,
-                    threshold_px, method, tri_cfg)
-
 
 _LTB_JIT = None   # single jitted instance so the trace cache persists
 
@@ -203,6 +222,14 @@ def _leftover_tri_batch(PN, PO, K_new, R_new, t_new, K_os, R_os, t_os,
                         M, tri_cfg):
     """One vmapped two-view triangulation over a bucket of neighbours of
     a freshly registered camera (the new camera's K/R/t broadcast)."""
+    global _LTB_JIT
+    with _LAZY_JIT_LOCK:
+        _build_ltb_jit()
+    return _LTB_JIT(PN, PO, K_new, R_new, t_new, K_os, R_os, t_os, M,
+                    tri_cfg)
+
+
+def _build_ltb_jit():
     global _LTB_JIT
     if _LTB_JIT is None:
         import functools as _ft
@@ -227,9 +254,6 @@ def _leftover_tri_batch(PN, PO, K_new, R_new, t_new, K_os, R_os, t_os,
 
         _LTB_JIT = batch
 
-    return _LTB_JIT(PN, PO, K_new, R_new, t_new, K_os, R_os, t_os, M,
-                    tri_cfg)
-
 
 class SfMPipeline:
     """MainPosePipeline equivalent (CPE/pipeline.py:218)."""
@@ -252,6 +276,9 @@ class SfMPipeline:
         # image name -> list of (point_id, uv). Consumed by _mine_2d3d when
         # the image registers.
         self.pending_obs: Dict[str, List[Tuple[int, np.ndarray]]] = {}
+        # background compile prewarmer (sfm/prewarm.py); live only while
+        # reconstruct() runs
+        self._prewarmer = None
 
     # ------------------------------------------------------------------
     def reconstruct(self, matches_data: Dict, image_info: Optional[Dict] = None,
@@ -265,6 +292,19 @@ class SfMPipeline:
         after two-view init and every registered view, and `resume=True`
         restarts from it.
         """
+        try:
+            return self._reconstruct(matches_data, image_info, output_dir,
+                                     chosen_images, checkpoint_dir, resume)
+        finally:
+            if self._prewarmer is not None:
+                self._prewarmer.close()
+                # bound the one in-flight warm so no worker is left
+                # inside an XLA call at interpreter shutdown
+                self._prewarmer.join(30.0)
+                self._prewarmer = None
+
+    def _reconstruct(self, matches_data, image_info, output_dir,
+                     chosen_images, checkpoint_dir, resume) -> Reconstruction:
         image_info = image_info or {}
         if chosen_images:
             matches_data = {k: v for k, v in matches_data.items()
@@ -276,6 +316,7 @@ class SfMPipeline:
             ckpt_path = Path(checkpoint_dir) / "sfm_checkpoint.pkl"
 
         self.pending_obs = {}
+        self._start_prewarm(matches_data)
         recon = Reconstruction()
         resumed = False
         if resume and ckpt_path is not None and ckpt_path.exists():
@@ -333,6 +374,8 @@ class SfMPipeline:
             self._view_timings = {}
             added = self._add_view(recon, name, matches_data, image_info)
             remaining.remove(name)
+            if self._prewarmer is not None and 0 < len(remaining) <= 2:
+                self._prewarm_global_ba(recon, n_total=len(all_images))
             self.history.append({"phase": "add_view", "image": name,
                                  "success": added,
                                  "time_s": time.perf_counter() - t0,
@@ -602,6 +645,8 @@ class SfMPipeline:
 
         n = len(uv)
         cap = _bucket(n)
+        if self._prewarmer is not None:
+            self._prewarmer.mark(("pnp", cap))
         X = _pad2(recon.points_array()[pids].astype(np.float32), cap)
         uv_p = _pad2(uv.astype(np.float32), cap)
         mask = np.arange(cap) < n
@@ -645,6 +690,9 @@ class SfMPipeline:
             by_cap.setdefault(_bucket(len(idx)), []).append(
                 (other, new_xy, other_xy, idx))
         for cap2, items in by_cap.items():
+            if self._prewarmer is not None:
+                n_pad_k = 1 << max(0, len(items) - 1).bit_length()
+                self._prewarmer.mark(("ltri", n_pad_k, cap2, tri_cfg))
             # pad the ITEM count to a power of 2 as well: the vmapped
             # program's shape is (n_items, cap2), and an unbucketed
             # leading dim would cost a fresh trace + remote load per
@@ -809,6 +857,10 @@ class SfMPipeline:
             # boot pairs a folder produces
             CHUNK = 4
             for cap, group in sorted(by_cap.items()):
+                if self._prewarmer is not None:
+                    self._prewarmer.mark(
+                        ("prog", cap, cfg.essential_threshold_px,
+                         cfg.essential_method, tri_cfg))
                 for s in range(0, len(group), CHUNK):
                     part = group[s:s + CHUNK]
                     P1 = np.zeros((CHUNK, cap, 2), np.float32)
@@ -915,21 +967,155 @@ class SfMPipeline:
         return count
 
     # ------------------------------------------------------------------
+    # -- background compile prewarm (sfm/prewarm.py) --------------------
+    def _start_prewarm(self, matches_data: Dict) -> None:
+        """Start the worker and submit the up-front warm list: every
+        program shape here is derivable from matches_data pair sizes
+        before any of them runs (measured first-trace costs: PnP 16.6 s,
+        progressive batch 8.7 s, leftover-triangulation 1-3 s each)."""
+        enabled = self.config.prewarm_compile
+        if enabled is None:
+            import jax
+            enabled = jax.default_backend() != "cpu"
+        if not enabled or not matches_data:
+            return
+        from tpu3drec.ops.triangulate import TriangulationConfig
+        from tpu3drec.sfm.prewarm import (
+            CompilePrewarmer, warm_pnp, warm_progressive, warm_leftover_tri)
+        cfg = self.config
+
+        def _pair_len(v) -> int:
+            # matches_data values are {"correspondences": (N, 4), ...}
+            # dicts (io/batch_pickle.py schema) but raw (N, 4) arrays are
+            # accepted everywhere lookup_pair is, so accept both here
+            if v is None:
+                return 0
+            if isinstance(v, dict):
+                c = v.get("correspondences")
+                return 0 if c is None else len(c)
+            return len(v)
+
+        sizes = [n for n in map(_pair_len, matches_data.values())
+                 if n >= 8]
+        if not sizes:
+            return
+        pw = self._prewarmer = CompilePrewarmer()
+        # PnP caps: the 2D-3D mining count is bounded by an image's total
+        # matches across pairs; warm ladder rungs a mining count could
+        # land in (n in (cap/4, cap]), most-likely first
+        totals: Dict[str, int] = {}
+        for (a, b), v in matches_data.items():
+            n = _pair_len(v)
+            if not n:
+                continue
+            totals[a] = totals.get(a, 0) + n
+            totals[b] = totals.get(b, 0) + n
+        max_tot = max(totals.values())
+        for cap in (2048, 8192, 512, 32768):
+            if cap == 512 or max_tot > cap // 4:
+                pw.submit(("pnp", cap),
+                          warm_pnp(cap, cfg.pnp_threshold_px))
+        # progressive-triangulation caps: fresh counts <= pair size;
+        # warm each realized pair bucket and the rung below it (fresh
+        # subsets shrink), most-frequent bucket first
+        tri_prog = TriangulationConfig(min_angle_deg=cfg.min_angle_deg,
+                                       max_reproj_px=cfg.relaxed_reproj_px)
+        freq: Dict[int, int] = {}
+        for s in sizes:
+            b = _bucket(s)
+            freq[b] = freq.get(b, 0) + 1
+            if b > 512:
+                freq.setdefault(b // 4, 0)
+        for cap in sorted(freq, key=lambda b: -freq[b]):
+            pw.submit(("prog", cap, cfg.essential_threshold_px,
+                       cfg.essential_method, tri_prog),
+                      warm_progressive(cap, cfg.essential_threshold_px,
+                                       cfg.essential_method, tri_prog))
+        # leftover-triangulation (n_pad, cap) grid: leftover counts are
+        # small subsets of pair matches; the realized combos live in the
+        # bottom rungs
+        tri_left = TriangulationConfig(min_angle_deg=cfg.min_angle_deg,
+                                       max_reproj_px=cfg.max_reproj_px)
+        for cap in (512, 2048):
+            if cap > 512 and max(sizes) <= cap // 4:
+                continue
+            for n_pad in (1, 2, 4, 8):
+                pw.submit(("ltri", n_pad, cap, tri_left),
+                          warm_leftover_tri(n_pad, cap, tri_left))
+
+    def _prewarm_ba_rungs(self, ba_cfg, prob, rungs: bool) -> None:
+        """Mark the realized BA shape; for the per-view (incremental)
+        config also warm one rung ahead on each bucket axis so the next
+        crossing hits a loaded executable. Wrong-rung warms only cost
+        background time (the gated dummy solve is one residual pass)."""
+        pw = self._prewarmer
+        if pw is None:
+            return
+        from tpu3drec.sfm.prewarm import warm_ba, ba_key
+        from tpu3drec.sfm.reconstruction import ba_bucket_next
+        Cp = prob.cam_params.shape[0]
+        Pp = prob.points.shape[0]
+        Mp = prob.obs_cam.shape[0]
+        pw.mark(ba_key(ba_cfg, Cp, Pp, Mp))
+        if not rungs:
+            return
+        nC = ba_bucket_next(Cp, "cams")
+        nP = ba_bucket_next(Pp, "points")
+        nM = ba_bucket_next(Mp, "obs")
+        for c, p, m in ((Cp, Pp, nM), (Cp, nP, nM), (Cp, nP, Mp),
+                        (nC, Pp, nM), (nC, nP, nM)):
+            pw.submit(ba_key(ba_cfg, c, p, m), warm_ba(ba_cfg, c, p, m))
+
+    def _prewarm_global_ba(self, recon: Reconstruction,
+                           n_total: int) -> None:
+        """Near the end of view addition, warm the final global-polish
+        program at the projected full-map buckets (the map grows a few
+        percent more at most, so the current bucket — plus the next rung
+        when within 8% of a boundary — covers the final shape)."""
+        pw = self._prewarmer
+        if pw is None:
+            return
+        import jax
+        if (self.config.use_sharded_global_ba and len(jax.devices()) > 1
+                and recon.num_observations >= self.config.sharded_ba_min_obs):
+            return  # the sharded path runs instead (parallel/ba.py)
+        from tpu3drec.sfm.prewarm import warm_ba, ba_key
+        from tpu3drec.sfm.reconstruction import (
+            ba_bucket_cams, ba_bucket_points, ba_bucket_obs)
+        gcfg = self._ba_cfg(self.config.global_ba_max_iters, 1e-6, 0.0)
+        Cp = ba_bucket_cams(n_total)
+        for p in {ba_bucket_points(recon.num_points),
+                  ba_bucket_points(int(recon.num_points * 1.08))}:
+            for m in {ba_bucket_obs(recon.num_observations),
+                      ba_bucket_obs(int(recon.num_observations * 1.08))}:
+                pw.submit(ba_key(gcfg, Cp, p, m), warm_ba(gcfg, Cp, p, m))
+
+    def _ba_cfg(self, max_iters: int, ftol: float,
+                skip_if_below_px: float):
+        """BAConfig for a pipeline solve. Every config is GATED
+        (skip_if_below_px > 0) so the compile prewarmer's dummy solves
+        exit after one residual pass instead of running max_iters LM
+        iterations; a traced skip_below_px of 0.0 keeps the ungated
+        semantics exactly (the initial mean reprojection is never < 0,
+        and the gate's one residual pass is computed for stats anyway)."""
+        from tpu3drec.ops.ba import BAConfig
+        return BAConfig(max_iters=max_iters, ftol=ftol,
+                        optimize_intrinsics=self.config.optimize_intrinsics,
+                        skip_if_below_px=max(skip_if_below_px, 1e-12))
+
     def _run_ba(self, recon: Reconstruction,
                 optimize_cams: Optional[List[str]] = None,
                 max_iters: int = 20, ftol: float = 1e-6,
                 skip_if_below_px: float = 0.0,
                 warm_start: bool = False) -> Dict:
-        from tpu3drec.ops.ba import bundle_adjust, BAConfig
+        from tpu3drec.ops.ba import bundle_adjust
         if recon.num_points == 0 or recon.num_observations < 10:
             return {"skipped": True}
         ocam_names = set(recon.cameras)
         window_has_obs = optimize_cams is not None and any(
             n in ocam_names and len(recon.camera_obs_arrays(n)[0])
             for n in optimize_cams)
-        cfg = BAConfig(max_iters=max_iters, ftol=ftol,
-                       optimize_intrinsics=self.config.optimize_intrinsics,
-                       skip_if_below_px=skip_if_below_px)
+        cfg = self._ba_cfg(max_iters, ftol, skip_if_below_px)
         # warm-start damping: lambda0 is always passed as a traced float
         # (one trace signature); cold solves just get lambda_init
         lam0 = (self._ba_lambda if (warm_start and
@@ -953,6 +1139,8 @@ class SfMPipeline:
             prob, names, pids = recon.to_local_ba_problem(
                 optimize_cams, fix_first=True,
                 optimize_intrinsics=self.config.optimize_intrinsics)
+            self._prewarm_ba_rungs(cfg, prob,
+                                   rungs=skip_if_below_px > 0)
             res = bundle_adjust(prob, cfg, lambda0=lam0,
                                 skip_below_px=skip_thr)
             cams_np, pts_np, stats = _split_packed(res.packed, prob)
@@ -961,6 +1149,8 @@ class SfMPipeline:
             prob, names = recon.to_ba_problem(
                 optimize_cams=optimize_cams, fix_first=True,
                 optimize_intrinsics=self.config.optimize_intrinsics)
+            self._prewarm_ba_rungs(cfg, prob,
+                                   rungs=skip_if_below_px > 0)
             res = bundle_adjust(prob, cfg, lambda0=lam0,
                                 skip_below_px=skip_thr)
             cams_np, pts_np, stats = _split_packed(res.packed, prob)

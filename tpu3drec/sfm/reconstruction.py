@@ -496,6 +496,51 @@ class Reconstruction:
                             obs)
 
 
+def _buck(n, minimum, factor=4):
+    b = minimum
+    while b < n:
+        b *= factor
+    return b
+
+
+def _buck_hybrid(n, minimum, fine_from):
+    # coarse x4 steps while small, x2 once large: every extra bucket
+    # costs a full trace+load of the BA program (~tens of seconds
+    # over the remote-compile path) regardless of its size, but the
+    # padding waste the bucket avoids only matters when the padded
+    # problem is BIG — factor-4 buckets measured up to 3x padded
+    # work on the steady-state incremental problems (P=5-7k ->
+    # 16384, M=20-30k -> 65536), while all-factor-2 buckets pushed
+    # the 25-view cold start from 206 s to 541 s
+    b = minimum
+    while b < n:
+        b *= 4 if b < fine_from else 2
+    return b
+
+
+# The BA pad-bucket ladders, exported so the compile prewarmer
+# (sfm/prewarm.py) predicts the NEXT rung of each axis from a realized
+# shape without duplicating the ladder logic.
+def ba_bucket_cams(n: int) -> int:
+    return _buck(max(n, 1), 8, 2)
+
+
+def ba_bucket_points(n: int) -> int:
+    return _buck_hybrid(max(n, 1), 1024, 4096)  # 1024,4096,8192,16384,..
+
+
+def ba_bucket_obs(n: int) -> int:
+    return _buck_hybrid(max(n, 1), 4096, 16384)  # 4096,16384,65536,...
+
+
+def ba_bucket_next(b: int, axis: str) -> int:
+    """The rung above bucket `b` on the cams/points/obs ladder."""
+    if axis == "cams":
+        return b * 2
+    fine_from = 4096 if axis == "points" else 16384
+    return b * (4 if b < fine_from else 2)
+
+
 def _pad_ba_problem(cams, pts, obs_cam, obs_pt, obs_uv, pm):
     """Bucket-pad BA arrays into a static-shape BAProblem.
 
@@ -508,30 +553,10 @@ def _pad_ba_problem(cams, pts, obs_cam, obs_pt, obs_uv, pm):
     import jax.numpy as jnp
     from tpu3drec.ops.ba import BAProblem
 
-    def _buck(n, minimum, factor=4):
-        b = minimum
-        while b < n:
-            b *= factor
-        return b
-
-    def _buck_hybrid(n, minimum, fine_from):
-        # coarse x4 steps while small, x2 once large: every extra bucket
-        # costs a full trace+load of the BA program (~tens of seconds
-        # over the remote-compile path) regardless of its size, but the
-        # padding waste the bucket avoids only matters when the padded
-        # problem is BIG — factor-4 buckets measured up to 3x padded
-        # work on the steady-state incremental problems (P=5-7k ->
-        # 16384, M=20-30k -> 65536), while all-factor-2 buckets pushed
-        # the 25-view cold start from 206 s to 541 s
-        b = minimum
-        while b < n:
-            b *= 4 if b < fine_from else 2
-        return b
-
     C, P, M = len(cams), len(pts), len(obs_cam)
-    Cp = _buck(max(C, 1), 8, 2)
-    Pp = _buck_hybrid(max(P, 1), 1024, 4096)   # 1024,4096,8192,16384,...
-    Mp = _buck_hybrid(max(M, 1), 4096, 16384)  # 4096,16384,32768,65536,...
+    Cp = ba_bucket_cams(C)
+    Pp = ba_bucket_points(P)
+    Mp = ba_bucket_obs(M)
     cams_p = np.zeros((Cp, 10), np.float32)
     cams_p[:C] = cams
     cams_p[C:, 6:8] = 1.0  # benign fx, fy for frozen pad cameras
