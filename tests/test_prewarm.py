@@ -148,6 +148,9 @@ def test_start_prewarm_parses_dict_schema():
     submitted = []
 
     class _FakePW:
+        def __init__(self, workers=1):
+            pass
+
         def submit(self, key, thunk):
             submitted.append(key)
             return True
@@ -167,7 +170,11 @@ def test_start_prewarm_parses_dict_schema():
         pv.CompilePrewarmer = real
     assert pipe._prewarmer is not None
     kinds = {k[0] for k in submitted}
-    assert kinds == {"pnp", "prog", "ltri"}
+    assert kinds == {"pnp", "prog", "ltri", "ba"}
+    # both early-BA configs (post-bootstrap ungated-semantics + gated
+    # incremental) get bottom-rung warms
+    ba_cfgs = {k[1] for k in submitted if k[0] == "ba"}
+    assert len(ba_cfgs) == 2
     # 3000 matches/pair -> pnp caps include 2048 and 8192
     pnp_caps = {k[1] for k in submitted if k[0] == "pnp"}
     assert {512, 2048, 8192} <= pnp_caps

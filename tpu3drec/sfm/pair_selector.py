@@ -223,6 +223,30 @@ def score_pair(correspondences: np.ndarray,
             "median_displacement": med_disp}
 
 
+_FPAIR_JIT = None   # single jitted instance so the trace cache persists
+
+
+def _fpair_batch(P1, P2, M, seeds, threshold):
+    """One vmapped F-RANSAC over a fixed-size chunk of candidate init
+    pairs. MUST be a persistent jitted callable: an inline
+    ``jax.vmap(lambda ...)`` rebuilt per chunk re-keys the executable
+    cache on the fresh lambda identity, so a 97-pair folder paid 13
+    trace+load round trips for ONE program shape (measured 61 s/chunk
+    over a degraded tunnel, 2026-08-19)."""
+    global _FPAIR_JIT
+    if _FPAIR_JIT is None:
+        import jax
+
+        def one(p1, p2, m, seed, thr):
+            from tpu3drec.ops.geometry import find_fundamental
+            return find_fundamental(p1, p2, mask=m, threshold=thr,
+                                    num_hypotheses=256,
+                                    key=jax.random.PRNGKey(seed))
+
+        _FPAIR_JIT = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+    return _FPAIR_JIT(P1, P2, M, seeds, threshold)
+
+
 class InitializationPairSelector:
     """pair_selector.py:41-535."""
 
@@ -236,9 +260,7 @@ class InitializationPairSelector:
         program per capacity bucket (a serial per-pair loop costs a
         device dispatch each — ~6 s for a 21-pair folder through the
         remote tunnel)."""
-        import jax
         import jax.numpy as jnp
-        from tpu3drec.ops.geometry import find_fundamental
 
         entries = []
         for i, (pair, pd) in enumerate(sorted(matches_data.items())):
@@ -282,11 +304,9 @@ class InitializationPairSelector:
                     P2[g, :len(c)] = c[:, 2:]
                     M[g, :len(c)] = True
                     seeds[g] = i
-                keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
-                rr = jax.vmap(lambda a, b, m, k: find_fundamental(
-                    a, b, mask=m, threshold=thr, num_hypotheses=256,
-                    key=k)
-                )(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(M), keys)
+                rr = _fpair_batch(jnp.asarray(P1), jnp.asarray(P2),
+                                  jnp.asarray(M), jnp.asarray(seeds),
+                                  thr)
                 ratios = np.asarray(rr.inlier_ratio)
                 succ = np.asarray(rr.success)
                 inls = np.asarray(rr.inliers)

@@ -374,7 +374,11 @@ class SfMPipeline:
             self._view_timings = {}
             added = self._add_view(recon, name, matches_data, image_info)
             remaining.remove(name)
-            if self._prewarmer is not None and 0 < len(remaining) <= 2:
+            # global-polish warm lead time: the warm takes ~13 s in the
+            # background vs ~2.5-4 s/view cold — 4 views out gives it
+            # room; the 8% growth margin in _prewarm_global_ba covers
+            # the extra map drift
+            if self._prewarmer is not None and 0 < len(remaining) <= 4:
                 self._prewarm_global_ba(recon, n_total=len(all_images))
             self.history.append({"phase": "add_view", "image": name,
                                  "success": added,
@@ -999,22 +1003,14 @@ class SfMPipeline:
                  if n >= 8]
         if not sizes:
             return
-        pw = self._prewarmer = CompilePrewarmer()
-        # PnP caps: the 2D-3D mining count is bounded by an image's total
-        # matches across pairs; warm ladder rungs a mining count could
-        # land in (n in (cap/4, cap]), most-likely first
-        totals: Dict[str, int] = {}
-        for (a, b), v in matches_data.items():
-            n = _pair_len(v)
-            if not n:
-                continue
-            totals[a] = totals.get(a, 0) + n
-            totals[b] = totals.get(b, 0) + n
-        max_tot = max(totals.values())
-        for cap in (2048, 8192, 512, 32768):
-            if cap == 512 or max_tot > cap // 4:
-                pw.submit(("pnp", cap),
-                          warm_pnp(cap, cfg.pnp_threshold_px))
+        import os
+        from tpu3drec.sfm.prewarm import warm_ba, ba_key
+        pw = self._prewarmer = CompilePrewarmer(
+            workers=int(os.environ.get("TPU3DREC_PREWARM_WORKERS", "2")))
+        # Submit in critical-path order (the queue drains in order even
+        # with several workers): progressive triangulation is needed at
+        # bootstrap (~seconds in), PnP + the early-BA configs from view
+        # 3, incremental-BA rungs and leftover-tri after that.
         # progressive-triangulation caps: fresh counts <= pair size;
         # warm each realized pair bucket and the rung below it (fresh
         # subsets shrink), most-frequent bucket first
@@ -1031,6 +1027,34 @@ class SfMPipeline:
                        cfg.essential_method, tri_prog),
                       warm_progressive(cap, cfg.essential_threshold_px,
                                        cfg.essential_method, tri_prog))
+        # PnP caps: the 2D-3D mining count is bounded by an image's total
+        # matches across pairs; warm ladder rungs a mining count could
+        # land in (n in (cap/4, cap]), most-likely first
+        totals: Dict[str, int] = {}
+        for (a, b), v in matches_data.items():
+            n = _pair_len(v)
+            if not n:
+                continue
+            totals[a] = totals.get(a, 0) + n
+            totals[b] = totals.get(b, 0) + n
+        max_tot = max(totals.values())
+        for cap in (2048, 8192, 512, 32768):
+            if cap == 512 or max_tot > cap // 4:
+                pw.submit(("pnp", cap),
+                          warm_pnp(cap, cfg.pnp_threshold_px))
+        # bottom BA rungs for BOTH pipeline configs: the post-two-view /
+        # post-bootstrap solves (ftol 1e-6, ungated semantics) and the
+        # first incremental solves (gated) all land in the ladder's
+        # lowest buckets (local problems: C<=8 window+anchor cams, P
+        # through 1024/4096, M through 4096/16384) — without these the
+        # FIRST solve of each config pays trace+load on the critical path
+        bcfg = self._ba_cfg(cfg.ba_max_iters, 1e-6, 0.0)
+        icfg = self._ba_cfg(cfg.ba_max_iters, cfg.incremental_ba_ftol,
+                            cfg.incremental_ba_skip_px)
+        for c, p, m in ((8, 1024, 4096), (8, 4096, 16384),
+                        (8, 4096, 4096), (8, 1024, 16384)):
+            pw.submit(ba_key(bcfg, c, p, m), warm_ba(bcfg, c, p, m))
+            pw.submit(ba_key(icfg, c, p, m), warm_ba(icfg, c, p, m))
         # leftover-triangulation (n_pad, cap) grid: leftover counts are
         # small subsets of pair matches; the realized combos live in the
         # bottom rungs

@@ -58,13 +58,20 @@ class CompilePrewarmer:
     _seen: set = set()          # process-level, mirrors the jit caches
     _seen_lock = threading.Lock()
 
-    def __init__(self) -> None:
+    def __init__(self, workers: int = 2) -> None:
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self._closed = False
         self._log = bool(int(os.environ.get("TPU3DREC_PREWARM_LOG", "0")))
-        self._thread = threading.Thread(
-            target=self._loop, daemon=True, name="tpu3drec-prewarm")
-        self._thread.start()
+        # >1 worker overlaps the REMOTE parts of adjacent warms (XLA
+        # compile RPC + executable load release the GIL); tracing is
+        # GIL-bound either way. Measured on the 50-view cold bench:
+        # off 0.158 views/s, 1 worker 0.39, see CLAUDE.md for the sweep.
+        self._threads = [
+            threading.Thread(target=self._loop, daemon=True,
+                             name=f"tpu3drec-prewarm-{i}")
+            for i in range(max(1, workers))]
+        for t in self._threads:
+            t.start()
 
     # -- public API -----------------------------------------------------
     def mark(self, key: Hashable) -> None:
@@ -88,11 +95,14 @@ class CompilePrewarmer:
         afterwards to bound the one in-flight thunk."""
         with self._seen_lock:
             self._closed = True
-        self._q.put(None)
+        for _ in self._threads:
+            self._q.put(None)
 
     def join(self, timeout: float = 60.0) -> None:
-        """Wait for the worker to finish (tests only)."""
-        self._thread.join(timeout)
+        """Wait for the workers to finish (bounds in-flight thunks)."""
+        deadline = time.monotonic() + timeout
+        for t in self._threads:
+            t.join(max(0.0, deadline - time.monotonic()))
 
     # -- worker ----------------------------------------------------------
     def _loop(self) -> None:
