@@ -1006,7 +1006,7 @@ class SfMPipeline:
         import os
         from tpu3drec.sfm.prewarm import warm_ba, ba_key
         pw = self._prewarmer = CompilePrewarmer(
-            workers=int(os.environ.get("TPU3DREC_PREWARM_WORKERS", "2")))
+            workers=int(os.environ.get("TPU3DREC_PREWARM_WORKERS", "1")))
         # Submit in critical-path order (the queue drains in order even
         # with several workers): progressive triangulation is needed at
         # bootstrap (~seconds in), PnP + the early-BA configs from view
@@ -1086,9 +1086,15 @@ class SfMPipeline:
         nC = ba_bucket_next(Cp, "cams")
         nP = ba_bucket_next(Pp, "points")
         nM = ba_bucket_next(Mp, "obs")
-        for c, p, m in ((Cp, Pp, nM), (Cp, nP, nM), (Cp, nP, Mp),
-                        (nC, Pp, nM), (nC, nP, nM)):
-            pw.submit(ba_key(ba_cfg, c, p, m), warm_ba(ba_cfg, c, p, m))
+        # front=True: the crossing lands within a few views (~2-4 s/view)
+        # — these must not wait behind the up-front list (measured
+        # 2026-08-19: 14.9/10.9/9.4 s cold BA spikes while rung warms sat
+        # mid-queue). Submitted least- to most-likely so the LIKELIEST
+        # crossing ((Cp, Pp, nM): obs grow fastest) ends up frontmost.
+        for c, p, m in ((nC, nP, nM), (nC, Pp, nM), (Cp, nP, Mp),
+                        (Cp, nP, nM), (Cp, Pp, nM)):
+            pw.submit(ba_key(ba_cfg, c, p, m), warm_ba(ba_cfg, c, p, m),
+                      front=True)
 
     def _prewarm_global_ba(self, recon: Reconstruction,
                            n_total: int) -> None:
@@ -1112,7 +1118,8 @@ class SfMPipeline:
                   ba_bucket_points(int(recon.num_points * 1.08))}:
             for m in {ba_bucket_obs(recon.num_observations),
                       ba_bucket_obs(int(recon.num_observations * 1.08))}:
-                pw.submit(ba_key(gcfg, Cp, p, m), warm_ba(gcfg, Cp, p, m))
+                pw.submit(ba_key(gcfg, Cp, p, m), warm_ba(gcfg, Cp, p, m),
+                          front=True)
 
     def _ba_cfg(self, max_iters: int, ftol: float,
                 skip_if_below_px: float):

@@ -31,9 +31,9 @@ with no compilation stage. This is TPU-runtime infrastructure.
 from __future__ import annotations
 
 import os
-import queue
 import threading
 import time
+from collections import deque
 from typing import Callable, Hashable, Tuple
 
 import numpy as np
@@ -58,14 +58,17 @@ class CompilePrewarmer:
     _seen: set = set()          # process-level, mirrors the jit caches
     _seen_lock = threading.Lock()
 
-    def __init__(self, workers: int = 2) -> None:
-        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+    def __init__(self, workers: int = 1) -> None:
+        self._dq: deque = deque()
+        self._cv = threading.Condition()
         self._closed = False
         self._log = bool(int(os.environ.get("TPU3DREC_PREWARM_LOG", "0")))
-        # >1 worker overlaps the REMOTE parts of adjacent warms (XLA
-        # compile RPC + executable load release the GIL); tracing is
-        # GIL-bound either way. Measured on the 50-view cold bench:
-        # off 0.158 views/s, 1 worker 0.39, see CLAUDE.md for the sweep.
+        # ONE worker is the measured optimum on the 1-core build host
+        # (50-view cold bench, views/s: off 0.16-0.32, 1 worker 0.31-0.39,
+        # 2 workers 0.20-0.27). Tracing is GIL-bound: a second tracer
+        # starves the MAIN thread's own first traces (init went 24->79 s
+        # at 2 workers, measured 2026-08-19); the remote compile RPC +
+        # load release the GIL, so one worker already overlaps those.
         self._threads = [
             threading.Thread(target=self._loop, daemon=True,
                              name=f"tpu3drec-prewarm-{i}")
@@ -79,12 +82,21 @@ class CompilePrewarmer:
         with self._seen_lock:
             CompilePrewarmer._seen.add(key)
 
-    def submit(self, key: Hashable, thunk: Callable[[], None]) -> bool:
+    def submit(self, key: Hashable, thunk: Callable[[], None],
+               front: bool = False) -> bool:
+        """Enqueue a warm. ``front=True`` jumps the queue — for warms the
+        main thread will need within a few views (rung-ahead BA buckets),
+        which must not wait behind the long up-front list."""
         with self._seen_lock:
             if self._closed or key in CompilePrewarmer._seen:
                 return False
             CompilePrewarmer._seen.add(key)
-        self._q.put((key, thunk))
+        with self._cv:
+            if front:
+                self._dq.appendleft((key, thunk))
+            else:
+                self._dq.append((key, thunk))
+            self._cv.notify()
         return True
 
     def close(self) -> None:
@@ -95,8 +107,8 @@ class CompilePrewarmer:
         afterwards to bound the one in-flight thunk."""
         with self._seen_lock:
             self._closed = True
-        for _ in self._threads:
-            self._q.put(None)
+        with self._cv:
+            self._cv.notify_all()
 
     def join(self, timeout: float = 60.0) -> None:
         """Wait for the workers to finish (bounds in-flight thunks)."""
@@ -107,13 +119,12 @@ class CompilePrewarmer:
     # -- worker ----------------------------------------------------------
     def _loop(self) -> None:
         while True:
-            item = self._q.get()
-            if item is None:
-                return
-            key, thunk = item
-            with self._seen_lock:
+            with self._cv:
+                while not self._dq and not self._closed:
+                    self._cv.wait()
                 if self._closed:
-                    continue   # drain to the None sentinel, run nothing
+                    return
+                key, thunk = self._dq.popleft()
             t0 = time.perf_counter()
             try:
                 thunk()
