@@ -154,6 +154,10 @@ def bench_sfm():
                                                      info)
         rates.append(recon.num_cameras / (time.perf_counter() - t0))
     rates = np.asarray(sorted(rates))
+    # final-quality evidence: the incremental BA skip/warm-start gates
+    # (VERDICT r4 #3) must not move the converged reprojection error
+    from tpu3drec.sfm.quality import reprojection_errors
+    final_reproj = float(np.mean(reprojection_errors(recon)))
     print(json.dumps({
         "metric": f"incremental SfM views/s ({n_views} views,"
                   f" {n_pts // 1000}k GT pts, synthetic, steady-state"
@@ -163,6 +167,7 @@ def bench_sfm():
         "runs": runs,
         "spread": [round(float(rates[0]), 3), round(float(rates[-1]), 3)],
         "cold_start_views_per_s": round(recon.num_cameras / dt_cold, 3),
+        "final_mean_reproj_px": round(final_reproj, 4),
         "cameras": recon.num_cameras, "points": recon.num_points,
         "observations": recon.num_observations,
     }))
