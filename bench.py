@@ -148,12 +148,31 @@ def bench_sfm():
     dt_cold = time.perf_counter() - t0
     # steady state: same-process reruns hit every traced executable
     rates = []
+    pipe = None
     for _ in range(runs):
+        pipe = SfMPipeline(SfMConfig())
         t0 = time.perf_counter()
-        recon = SfMPipeline(SfMConfig()).reconstruct(dict(matches_data),
-                                                     info)
+        recon = pipe.reconstruct(dict(matches_data), info)
         rates.append(recon.num_cameras / (time.perf_counter() - t0))
     rates = np.asarray(sorted(rates))
+    if os.environ.get("BENCH_SFM_PROFILE"):
+        # per-phase wall-time breakdown of the LAST steady-state run
+        # (history carries per-view mine/pnp/tri/prog/ext/ba timings)
+        prof: dict = {}
+        for h in pipe.history:
+            if h.get("phase") != "add_view":
+                continue
+            for k in ("rank_s", "mine_s", "pnp_s", "tri_s", "prog_s",
+                      "ext_s", "ba_s"):
+                prof[k] = round(prof.get(k, 0.0) + h.get(k, 0.0), 3)
+            prof["ba_iters"] = prof.get("ba_iters", 0) \
+                + int(h.get("ba_iters", 0))
+            prof["views"] = prof.get("views", 0) + 1
+        for h in pipe.history:
+            if h.get("phase") in ("init", "global_ba", "bootstrap"):
+                prof[h["phase"] + "_s"] = round(h.get("time_s", 0.0), 3)
+        print(json.dumps({"metric": "sfm per-phase profile (last run)",
+                          **prof}))
     # final-quality evidence: the incremental BA skip/warm-start gates
     # (VERDICT r4 #3) must not move the converged reprojection error
     from tpu3drec.sfm.quality import reprojection_errors
