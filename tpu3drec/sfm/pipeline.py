@@ -693,6 +693,12 @@ class SfMPipeline:
                 continue
             by_cap.setdefault(_bucket(len(idx)), []).append(
                 (other, new_xy, other_xy, idx))
+        # dispatch every capacity bucket FIRST, pull afterwards: jax
+        # dispatch is async on this backend (only np.asarray blocks), so
+        # queueing all bucket programs overlaps device execution and
+        # result transfer across buckets instead of paying a full
+        # dispatch+exec+pull tunnel round trip per bucket
+        pending = []
         for cap2, items in by_cap.items():
             if self._prewarmer is not None:
                 n_pad_k = 1 << max(0, len(items) - 1).bit_length()
@@ -724,13 +730,16 @@ class SfMPipeline:
                              for it in items]
                             + [np.ones(3, np.float32)]
                             * (n_pad - len(items)))
-            packed_b = np.asarray(_leftover_tri_batch(
+            dev_b = _leftover_tri_batch(
                 jnp.asarray(PN), jnp.asarray(PO),
                 jnp.asarray(K.astype(np.float32)),
                 jnp.asarray(R.astype(np.float32)),
                 jnp.asarray(t.astype(np.float32)),
                 jnp.asarray(K_os), jnp.asarray(R_os), jnp.asarray(t_os),
-                jnp.asarray(MM), tri_cfg))    # (n_pad, cap2, 4), 1 pull
+                jnp.asarray(MM), tri_cfg)     # (n_pad, cap2, 4)
+            pending.append((items, dev_b))
+        for items, dev_b in pending:
+            packed_b = np.asarray(dev_b)      # 1 pull per bucket
             pts_b = packed_b[..., :3]
             mask_b = packed_b[..., 3] > 0.5
             for (other, new_xy, other_xy, idx), pts_i, m_i in zip(
@@ -860,6 +869,12 @@ class SfMPipeline:
             # correspondence-capacity bucket, regardless of how many
             # boot pairs a folder produces
             CHUNK = 4
+            # dispatch every (bucket, chunk) program FIRST, pull after:
+            # dispatch is async on this backend (np.asarray is the only
+            # sync point), so queueing the whole view's programs overlaps
+            # device execution and result transfer across groups instead
+            # of paying a serial dispatch+exec+pull round trip per group
+            pending = []
             for cap, group in sorted(by_cap.items()):
                 if self._prewarmer is not None:
                     self._prewarmer.mark(
@@ -888,16 +903,18 @@ class SfMPipeline:
                         jnp.asarray(np.asarray(seeds, np.uint32)),
                         cfg.essential_threshold_px, cfg.essential_method,
                         tri_cfg)
-                    flat = np.asarray(out)        # (CHUNK, cap*4 + 2)
-                    pts_g = flat[:, :cap * 3].reshape(
-                        len(flat), cap, 3).astype(np.float64)
-                    mask_g = flat[:, cap * 3:cap * 4] > 0.5
-                    ok_g = flat[:, cap * 4] > 0.5
-                    ninl_g = flat[:, cap * 4 + 1].astype(np.int64)
-                    for g, (boot, a_f, b_f, K_b) in enumerate(part):
-                        results[boot] = (pts_g[g], mask_g[g],
-                                         bool(ok_g[g]), int(ninl_g[g]),
-                                         a_f, b_f)
+                    pending.append((cap, part, out))
+            for cap, part, out in pending:
+                flat = np.asarray(out)            # (CHUNK, cap*4 + 2)
+                pts_g = flat[:, :cap * 3].reshape(
+                    len(flat), cap, 3).astype(np.float64)
+                mask_g = flat[:, cap * 3:cap * 4] > 0.5
+                ok_g = flat[:, cap * 4] > 0.5
+                ninl_g = flat[:, cap * 4 + 1].astype(np.int64)
+                for g, (boot, a_f, b_f, K_b) in enumerate(part):
+                    results[boot] = (pts_g[g], mask_g[g],
+                                     bool(ok_g[g]), int(ninl_g[g]),
+                                     a_f, b_f)
 
             added_anchor = 0
             for boot in unprocessed:
